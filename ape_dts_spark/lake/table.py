@@ -1,0 +1,463 @@
+"""LakeTable — a minimal lakehouse table format on parquet with atomic commits.
+
+The target design calls for an Iceberg sink (atomic MERGE, bucket(N, url)
+partition spec, schema evolution).  No Iceberg runtime jar exists in this
+sandbox, so the engine ships its own structurally-equivalent table format —
+built from public lakehouse concepts (Iceberg spec: versioned manifests +
+atomic pointer swap; column-id based schema evolution) and implemented in
+~400 lines of plain Python + Spark parquet IO:
+
+  table_dir/
+    _meta/v{N}.json      one immutable manifest per committed snapshot
+    data/...parquet      immutable data files, one bucket each
+
+* **Atomic commit / snapshot isolation** — a manifest is staged to a temp
+  file then published with ``os.link`` (fails if the version already
+  exists -> optimistic concurrency, single winner).  Readers resolve the
+  highest committed version; a crash mid-write leaves only unreferenced
+  temp/data files, never a torn table.  On S3/HDFS the link step would be
+  a catalog conditional-put (documented, same protocol as Iceberg).
+* **bucket(N, key) layout** — every data file belongs to exactly one
+  bucket ``pmod(xxhash64(key), N)``.  MERGE rewrites only affected buckets
+  (copy-on-write) and the merge join is bucket-aligned, which bounds
+  shuffle at 10^10-row scale (the storage-partitioned-join idea).
+* **Schema evolution** — columns carry permanent ids; add/rename/widen
+  create a new schema version without rewriting data.  Readers map each
+  file's stored names/types to the current schema by id (name-mapping),
+  null-padding added columns and casting widened ones.
+
+Semantics mirrored from the reference (ape-dts): idempotent sink commits
+(reference mysql_sinker.rs REPLACE idempotence), positions persisted with
+the data (reference base_pipeline.rs:365-390 checkpointing), DDL applied
+between batches (reference base_pipeline.rs:198-222 refresh_meta).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TYPES: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "timestamp": T.TimestampType(),
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "short": T.ShortType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "boolean": T.BooleanType(),
+    "date": T.DateType(),
+}
+
+# widen_column whitelist (reference: MySQL type widening via DDL; Iceberg's
+# allowed promotions int->long, float->double plus int->double for parity
+# with the fixture's widen events).
+_WIDEN_OK = {
+    ("int", "long"),
+    ("int", "double"),
+    ("short", "int"),
+    ("short", "long"),
+    ("long", "double"),
+    ("float", "double"),
+}
+
+BUCKET_COL = "_bucket"
+
+
+def spark_type(name: str) -> T.DataType:
+    if name.startswith("decimal"):
+        return T._parse_datatype_string(name)
+    return _TYPES[name]
+
+
+@dataclass
+class TableSchema:
+    """Ordered column list with permanent field ids (Iceberg-style)."""
+
+    fields: list[dict]  # {"id": int, "name": str, "type": str, "nullable": bool}
+    next_id: int
+
+    @staticmethod
+    def from_cols(cols: list[tuple[str, str]] | list[tuple[str, str, bool]]) -> "TableSchema":
+        fields = []
+        for i, c in enumerate(cols):
+            name, typ = c[0], c[1]
+            nullable = c[2] if len(c) > 2 else True
+            fields.append({"id": i + 1, "name": name, "type": typ, "nullable": nullable})
+        return TableSchema(fields=fields, next_id=len(cols) + 1)
+
+    def to_struct(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(f["name"], spark_type(f["type"]), True) for f in self.fields]
+        )
+
+    def names(self) -> list[str]:
+        return [f["name"] for f in self.fields]
+
+    def to_json(self) -> dict:
+        return {"fields": self.fields, "next_id": self.next_id}
+
+    @staticmethod
+    def from_json(d: dict) -> "TableSchema":
+        return TableSchema(fields=[dict(f) for f in d["fields"]], next_id=d["next_id"])
+
+
+@dataclass
+class _Manifest:
+    version: int
+    bucket_key: str | None
+    bucket_count: int
+    schemas: dict[str, dict]  # schema_version(str) -> TableSchema json
+    current_schema: int
+    files: list[dict]  # {"path","bucket","schema_version","rows"}
+    properties: dict[str, str] = field(default_factory=dict)
+    parent: int | None = None
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "_Manifest":
+        return _Manifest(**json.loads(s))
+
+
+class CommitConflict(RuntimeError):
+    pass
+
+
+class LakeTable:
+    """A bucket-partitioned, schema-evolving, atomically-committed parquet table."""
+
+    def __init__(self, path: str, manifest: _Manifest):
+        self.path = path
+        self.manifest = manifest
+
+    # ---------------------------------------------------------------- create/load
+
+    @staticmethod
+    def create(
+        path: str,
+        cols: list[tuple],
+        bucket_key: str | None = None,
+        bucket_count: int = 16,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(path, "_meta"), exist_ok=False)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        schema = TableSchema.from_cols(cols)
+        m = _Manifest(
+            version=0,
+            bucket_key=bucket_key,
+            bucket_count=bucket_count if bucket_key else 1,
+            schemas={"0": schema.to_json()},
+            current_schema=0,
+            files=[],
+            properties=dict(properties or {}),
+            parent=None,
+        )
+        t = LakeTable(path, m)
+        t._publish(m)
+        return t
+
+    @staticmethod
+    def load(path: str) -> "LakeTable":
+        meta = os.path.join(path, "_meta")
+        versions = [
+            int(f[1:-5]) for f in os.listdir(meta) if f.startswith("v") and f.endswith(".json")
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no committed version under {meta}")
+        v = max(versions)
+        with open(os.path.join(meta, f"v{v}.json")) as fh:
+            return LakeTable(path, _Manifest.from_json(fh.read()))
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        meta = os.path.join(path, "_meta")
+        return os.path.isdir(meta) and any(f.startswith("v") for f in os.listdir(meta))
+
+    def refresh(self) -> "LakeTable":
+        self.manifest = LakeTable.load(self.path).manifest
+        return self
+
+    # ---------------------------------------------------------------- schema
+
+    @property
+    def schema(self) -> TableSchema:
+        return TableSchema.from_json(self.manifest.schemas[str(self.manifest.current_schema)])
+
+    @property
+    def version(self) -> int:
+        return self.manifest.version
+
+    @property
+    def snapshot_id(self) -> int:
+        return self.manifest.version
+
+    def bucket_expr(self, df_col=None):
+        """bucket(N, key) partition transform: pmod(xxhash64(key), N) — JVM-side."""
+        c = df_col if df_col is not None else F.col(self.manifest.bucket_key)
+        return F.pmod(F.xxhash64(c), F.lit(self.manifest.bucket_count)).cast("int")
+
+    # ---------------------------------------------------------------- read
+
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        """Read the current snapshot, pruned to `buckets` if given.
+
+        Files written under old schema versions are mapped to the current
+        schema by column id (rename-safe), null-padded for added columns and
+        cast for widened ones.  Grouped by schema_version so each group is a
+        single vectorized parquet scan.
+        """
+        cur = self.schema
+        files = self.manifest.files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        if not files:
+            return spark.createDataFrame([], cur.to_struct())
+        by_sv: dict[int, list[str]] = {}
+        for f in files:
+            by_sv.setdefault(int(f["schema_version"]), []).append(
+                os.path.join(self.path, f["path"])
+            )
+        parts: list[DataFrame] = []
+        for sv, paths in sorted(by_sv.items()):
+            old = TableSchema.from_json(self.manifest.schemas[str(sv)])
+            old_by_id = {f["id"]: f for f in old.fields}
+            raw = spark.read.schema(old.to_struct()).parquet(*paths)
+            sel = []
+            for f in cur.fields:
+                of = old_by_id.get(f["id"])
+                if of is None:
+                    sel.append(F.lit(None).cast(spark_type(f["type"])).alias(f["name"]))
+                else:
+                    c = F.col(of["name"])
+                    if of["type"] != f["type"]:
+                        c = c.cast(spark_type(f["type"]))
+                    sel.append(c.alias(f["name"]))
+            parts.append(raw.select(*sel))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def input_files(self, buckets: list[int] | None = None) -> list[dict]:
+        if buckets is None:
+            return list(self.manifest.files)
+        bset = set(buckets)
+        return [f for f in self.manifest.files if f["bucket"] in bset]
+
+    # ---------------------------------------------------------------- write
+
+    def _stage_write(self, df: DataFrame, with_bucket_col: bool) -> list[dict]:
+        """Write df to a staging dir and move data files under data/; returns file entries."""
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if with_bucket_col:
+            writer = writer.partitionBy(BUCKET_COL)
+        writer.parquet(staging)
+        entries: list[dict] = []
+        nv = self.manifest.version + 1
+        try:
+            if with_bucket_col:
+                for d in sorted(os.listdir(staging)):
+                    if not d.startswith(f"{BUCKET_COL}="):
+                        continue
+                    bucket = int(d.split("=", 1)[1])
+                    for i, fn in enumerate(sorted(os.listdir(os.path.join(staging, d)))):
+                        if not fn.endswith(".parquet"):
+                            continue
+                        rel = f"data/v{nv}-b{bucket}-{i}-{uuid.uuid4().hex[:8]}.parquet"
+                        shutil.move(os.path.join(staging, d, fn), os.path.join(self.path, rel))
+                        entries.append(
+                            {
+                                "path": rel,
+                                "bucket": bucket,
+                                "schema_version": self.manifest.current_schema,
+                                "rows": None,
+                            }
+                        )
+            else:
+                for i, fn in enumerate(sorted(os.listdir(staging))):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel = f"data/v{nv}-b0-{i}-{uuid.uuid4().hex[:8]}.parquet"
+                    shutil.move(os.path.join(staging, fn), os.path.join(self.path, rel))
+                    entries.append(
+                        {
+                            "path": rel,
+                            "bucket": 0,
+                            "schema_version": self.manifest.current_schema,
+                            "rows": None,
+                        }
+                    )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return entries
+
+    def _publish(self, m: _Manifest) -> None:
+        meta = os.path.join(self.path, "_meta")
+        os.makedirs(meta, exist_ok=True)
+        tmp = os.path.join(meta, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(meta, f"v{m.version}.json")
+        with open(tmp, "w") as fh:
+            fh.write(m.to_json())
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)  # atomic publish; EEXIST => a concurrent writer won
+        except FileExistsError as e:
+            raise CommitConflict(f"version {m.version} already committed") from e
+        finally:
+            os.unlink(tmp)
+        self.manifest = m
+
+    def _next_manifest(self, **overrides) -> _Manifest:
+        m = self.manifest
+        base = dict(
+            version=m.version + 1,
+            bucket_key=m.bucket_key,
+            bucket_count=m.bucket_count,
+            schemas={k: dict(v) for k, v in m.schemas.items()},
+            current_schema=m.current_schema,
+            files=[dict(f) for f in m.files],
+            properties=dict(m.properties),
+            parent=m.version,
+        )
+        base.update(overrides)
+        return _Manifest(**base)
+
+    def append(self, df: DataFrame, properties: dict[str, str] | None = None) -> int:
+        """Append rows (no dedup).  df columns must match current schema by name."""
+        cur = self.schema
+        cols = [F.col(f["name"]).cast(spark_type(f["type"])).alias(f["name"]) for f in cur.fields]
+        out = df.select(*cols)
+        if self.manifest.bucket_key:
+            out = out.withColumn(BUCKET_COL, self.bucket_expr())
+            entries = self._stage_write(out, with_bucket_col=True)
+        else:
+            entries = self._stage_write(out, with_bucket_col=False)
+        props = dict(self.manifest.properties)
+        props.update(properties or {})
+        m = self._next_manifest(files=self.manifest.files + entries, properties=props)
+        self._publish(m)
+        return m.version
+
+    def overwrite_buckets(
+        self,
+        df: DataFrame,
+        buckets: list[int],
+        properties: dict[str, str] | None = None,
+    ) -> int:
+        """Copy-on-write replace of the given buckets' contents with df.
+
+        df must contain a `_bucket` int column restricted to `buckets` plus the
+        current-schema columns.  Files of untouched buckets are carried over
+        unchanged — this is what keeps MERGE write amplification proportional
+        to touched buckets, not table size.
+        """
+        cur = self.schema
+        cols = [F.col(f["name"]).cast(spark_type(f["type"])).alias(f["name"]) for f in cur.fields]
+        out = df.select(*cols, F.col(BUCKET_COL))
+        entries = self._stage_write(out, with_bucket_col=True)
+        bset = set(buckets)
+        kept = [f for f in self.manifest.files if f["bucket"] not in bset]
+        props = dict(self.manifest.properties)
+        props.update(properties or {})
+        m = self._next_manifest(files=kept + entries, properties=props)
+        self._publish(m)
+        return m.version
+
+    def overwrite_all(self, df: DataFrame, properties: dict[str, str] | None = None) -> int:
+        cur = self.schema
+        cols = [F.col(f["name"]).cast(spark_type(f["type"])).alias(f["name"]) for f in cur.fields]
+        out = df.select(*cols)
+        if self.manifest.bucket_key:
+            out = out.withColumn(BUCKET_COL, self.bucket_expr())
+            entries = self._stage_write(out, with_bucket_col=True)
+        else:
+            entries = self._stage_write(out, with_bucket_col=False)
+        props = dict(self.manifest.properties)
+        props.update(properties or {})
+        m = self._next_manifest(files=entries, properties=props)
+        self._publish(m)
+        return m.version
+
+    def set_properties(self, properties: dict[str, str]) -> int:
+        props = dict(self.manifest.properties)
+        props.update(properties)
+        m = self._next_manifest(properties=props)
+        self._publish(m)
+        return m.version
+
+    # ---------------------------------------------------------------- DDL
+
+    def _evolve(self, mutate) -> int:
+        """Commit a new schema version (metadata-only; data files untouched)."""
+        schema = self.schema
+        mutate(schema)
+        new_sv = max(int(k) for k in self.manifest.schemas) + 1
+        schemas = {k: dict(v) for k, v in self.manifest.schemas.items()}
+        schemas[str(new_sv)] = schema.to_json()
+        m = self._next_manifest(schemas=schemas, current_schema=new_sv)
+        self._publish(m)
+        return m.version
+
+    def add_column(self, name: str, typ: str, nullable: bool = True) -> int:
+        def mutate(s: TableSchema):
+            if name in s.names():
+                raise ValueError(f"column {name} already exists")
+            if typ not in _TYPES and not typ.startswith("decimal"):
+                raise ValueError(f"unknown type {typ}")
+            s.fields.append({"id": s.next_id, "name": name, "type": typ, "nullable": nullable})
+            s.next_id += 1
+
+        return self._evolve(mutate)
+
+    def rename_column(self, old: str, new: str) -> int:
+        def mutate(s: TableSchema):
+            if new in s.names():
+                raise ValueError(f"column {new} already exists")
+            for f in s.fields:
+                if f["name"] == old:
+                    f["name"] = new
+                    return
+            raise ValueError(f"no column {old}")
+
+        return self._evolve(mutate)
+
+    def widen_column(self, name: str, to_type: str) -> int:
+        def mutate(s: TableSchema):
+            for f in s.fields:
+                if f["name"] == name:
+                    if f["type"] == to_type:
+                        return
+                    if (f["type"], to_type) not in _WIDEN_OK:
+                        raise ValueError(f"illegal widen {f['type']} -> {to_type}")
+                    f["type"] = to_type
+                    return
+            raise ValueError(f"no column {name}")
+
+        return self._evolve(mutate)
+
+    # ---------------------------------------------------------------- history
+
+    def history(self) -> list[int]:
+        meta = os.path.join(self.path, "_meta")
+        return sorted(
+            int(f[1:-5]) for f in os.listdir(meta) if f.startswith("v") and f.endswith(".json")
+        )
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """Time travel: read an older committed snapshot."""
+        with open(os.path.join(self.path, "_meta", f"v{version}.json")) as fh:
+            return LakeTable(self.path, _Manifest.from_json(fh.read())).read(spark)

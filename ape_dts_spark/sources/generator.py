@@ -1,0 +1,189 @@
+"""Deterministic synthetic web-page snapshot + LSN-ordered change stream.
+
+The engine's test/bench input per the target spec: Common-Crawl-style pages
+`(url, warc_ts, html, text, lang)` and a binlog/WAL-style change stream
+`(lsn, op, url, before_url, payload..., tx_id, origin)` mirroring the
+reference's RowData model (reference dt-common/src/meta/row_data.rs:19-26,
+row_type.rs:5-12) and its test fixtures' key-topology stressors
+(dt-tests/tests/mysql_to_mysql/cdc/basic_test, uk_changed_test).
+
+Everything is generated **JVM-side** from `spark.range` + hash arithmetic —
+no Python in the loop, no driver-side materialization — so generation is
+O(parallelism)-scalable and bit-deterministic for a given seed regardless of
+partitioning (every value is a pure function of (id, seed)).
+
+Workload shape (per FIXTURES.md):
+* ~40% insert / ~40% update / ~20% delete;
+* Zipf-ish hot-domain skew (power-law domain ids) so merge-side skew is real;
+* per-url event bursts (a small hot-url set absorbs ~5% of events);
+* occasional key-changing updates (before_url != url) — the reference's
+  uk_changed hazard, handled as delete+insert;
+* an always-present `fetch_status` column that only becomes meaningful once
+  the add_column DDL fires (pre-DDL events must not apply it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EPOCH = 1_700_000_000  # fixed base so timestamps are deterministic
+N_DOMAINS = 1000
+LANGS = ["en", "de", "fr", "zh", "es", "pt", "ja", "ru"]
+VOCAB = (
+    "data spark stream merge window batch shuffle join filter scan lake delta "
+    "page crawl index token vector query engine commit snapshot schema binlog "
+    "replica offset bucket salt skew hash column row"
+).split()
+
+PAGES_COLS = [
+    ("url", "string", False),
+    ("warc_ts", "timestamp", True),
+    ("html", "binary", True),
+    ("text", "string", True),
+    ("lang", "string", True),
+    ("last_lsn", "long", True),
+]
+
+CHANGES_COLS = [
+    "lsn",
+    "op",
+    "url",
+    "before_url",
+    "warc_ts",
+    "html",
+    "lang",
+    "fetch_status",
+    "tx_id",
+    "origin",
+]
+
+
+def _h(col, seed: int, salt: int):
+    return F.xxhash64(col, F.lit(seed), F.lit(salt))
+
+
+def _uniform(col, seed: int, salt: int):
+    return (F.pmod(_h(col, seed, salt), F.lit(1_000_000)) + 0.5) / 1_000_000.0
+
+
+def _word(hcol, k: int):
+    idx = (F.pmod(F.floor(hcol / F.lit(k)), F.lit(len(VOCAB))) + 1).cast("int")
+    return F.element_at(F.array(*[F.lit(w) for w in VOCAB]), idx)
+
+
+def _domain_id(url_id, seed: int):
+    # power-law: u^3 concentrates mass near domain 0 => hot-domain skew
+    u = _uniform(url_id, seed, 101)
+    return F.floor(F.lit(N_DOMAINS) * F.pow(u, F.lit(3.0))).cast("long")
+
+
+def _url(url_id, seed: int):
+    return F.format_string("https://d%04d.example.com/p%010d", _domain_id(url_id, seed), url_id)
+
+
+def _lang(url_id, seed: int):
+    idx = (F.pmod(_h(_domain_id(url_id, seed), seed, 103), F.lit(len(LANGS))) + 1).cast("int")
+    return F.element_at(F.array(*[F.lit(x) for x in LANGS]), idx)
+
+
+def _html(hcol):
+    """Deterministic template HTML with comment/script/style/entity traps so
+    text extraction is non-trivial (title + h1 + 2 paragraphs survive)."""
+    w = [_word(hcol, 7**i) for i in range(8)]
+    return F.encode(
+        F.format_string(
+            "<html><!-- id:%s --><head><title>%s %s</title>"
+            "<style>body{color:#333}</style></head>"
+            '<body><script type="text/javascript">var q="%s";</script>'
+            "<h1>%s &amp; %s</h1>"
+            "<p>%s %s %s &nbsp;%s</p>"
+            "<div><p>%s %s <b>%s</b> %s</p></div>"
+            "</body></html>",
+            F.abs(hcol).cast("string"),
+            w[0], w[1], w[2], w[0], w[3], w[4], w[5], w[6], w[7], w[1], w[2], w[3], w[4],
+        ),
+        "UTF-8",
+    )
+
+
+def gen_pages_seed(spark: SparkSession, n_urls: int, seed: int = 42) -> DataFrame:
+    """Snapshot seed: url_ids [0, n_urls), last_lsn=0, text extracted lazily by caller."""
+    df = spark.range(n_urls).withColumnRenamed("id", "url_id")
+    h = _h(F.col("url_id"), seed, 1)
+    return df.select(
+        _url(F.col("url_id"), seed).alias("url"),
+        F.timestamp_seconds(F.lit(EPOCH) + F.col("url_id")).alias("warc_ts"),
+        _html(h).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        _lang(F.col("url_id"), seed).alias("lang"),
+        F.lit(0).cast("long").alias("last_lsn"),
+    )
+
+
+def gen_changes(
+    spark: SparkSession,
+    n_events: int,
+    n_seed_urls: int,
+    seed: int = 42,
+    start_lsn: int = 1,
+    tx_size: int = 50,
+) -> DataFrame:
+    """LSN-ordered change stream over the url keyspace.
+
+    lsn is strictly increasing and unique (= start_lsn + id).  Inserts mint
+    fresh url_ids above the seed range; update/delete target the existing
+    range (an update of a never-inserted url upserts, matching the
+    reference's REPLACE semantics).
+    """
+    df = spark.range(n_events).select((F.col("id") + F.lit(start_lsn)).alias("lsn"))
+    h = _h(F.col("lsn"), seed, 11)
+    r = F.pmod(h, F.lit(10))
+    op = (
+        F.when(r < 4, F.lit("insert")).when(r < 8, F.lit("update")).otherwise(F.lit("delete"))
+    )
+    # target id: inserts mint new ids; update/delete hit the live range.
+    live_span = F.lit(n_seed_urls) + F.floor(F.col("lsn") * F.lit(0.4))
+    existing_id = F.pmod(_h(F.col("lsn"), seed, 13), live_span)
+    minted_id = F.lit(n_seed_urls) + F.col("lsn")
+    burst = F.pmod(_h(F.col("lsn"), seed, 17), F.lit(100)) < 5  # ~5% burst traffic
+    url_id = (
+        F.when(burst, F.pmod(_h(F.col("lsn"), seed, 19), F.lit(8)))  # tiny hot-url set
+        .when(op == F.lit("insert"), minted_id)
+        .otherwise(existing_id)
+    ).cast("long")
+    # key-changing update (reference uk_changed_test): before.url != after.url
+    key_change = (op == F.lit("update")) & (F.pmod(_h(F.col("lsn"), seed, 23), F.lit(211)) == 0)
+    before_url = F.when(key_change, _url(url_id + 1, seed)).otherwise(F.lit(None).cast("string"))
+
+    hp = _h(F.col("lsn"), seed, 29)
+    return df.select(
+        F.col("lsn"),
+        op.alias("op"),
+        _url(url_id, seed).alias("url"),
+        before_url.alias("before_url"),
+        F.timestamp_seconds(F.lit(EPOCH) + F.lit(100_000) + F.col("lsn")).alias("warc_ts"),
+        F.when(op == "delete", F.lit(None).cast("binary")).otherwise(_html(hp)).alias("html"),
+        F.when(op == "delete", F.lit(None).cast("string"))
+        .otherwise(_lang(url_id, seed))
+        .alias("lang"),
+        F.when(op == "delete", F.lit(None).cast("int"))
+        .otherwise(F.pmod(hp, F.lit(600)).cast("int"))
+        .alias("fetch_status"),
+        F.floor(F.col("lsn") / F.lit(tx_size)).alias("tx_id"),
+        F.lit("node1").alias("origin"),
+    )
+
+
+def gen_ddl_events(spark: SparkSession, n_events: int, start_lsn: int = 1) -> DataFrame:
+    """3 schema-evolution events mid-stream (FIXTURES.md §3): add, rename, widen."""
+    rows = [
+        (start_lsn + int(n_events * 0.4), "add_column", '{"col":"fetch_status","type":"int"}'),
+        (start_lsn + int(n_events * 0.6), "rename_column", '{"from":"lang","to":"language"}'),
+        (
+            start_lsn + int(n_events * 0.8),
+            "widen_column",
+            '{"col":"fetch_status","to_type":"long"}',
+        ),
+    ]
+    return spark.createDataFrame(rows, "lsn long, ddl_type string, payload string")

@@ -1,0 +1,334 @@
+"""The micro-batch CDC driver loop — the Spark expression of the reference's
+pipeline (reference dt-pipeline/src/base_pipeline.rs:59-141: drain -> dispatch
+-> sink -> checkpoint) plus its resume protocol (CdcResumer / position.log,
+docs/en/monitor/position.md:5-12) and DDL barrier (base_extractor.rs:118-124,
+base_pipeline.rs:198-222).
+
+One batch = one LSN slice (hwm, hi]:
+  read slice (predicate pushed into the scan)
+  -> filter/route (ChangeFilter, Router)
+  -> split key-changing updates into delete+insert
+  -> quarantine NULL-key rows
+  -> vectorized text extraction (Arrow pandas UDF)
+  -> two-phase salted LWW dedup per url
+  -> bucket-pruned copy-on-write MERGE into the pages LakeTable
+  -> lineage rows (per affected bucket) + checkpoint row (high-watermark)
+
+Exactly-once: the MERGE commit carries `hwm_lsn` in the table manifest; the
+checkpoint row is a second commit.  A crash between the two leaves the
+manifest ahead of the checkpoint — on resume the slice is replayed, the
+driver sees manifest.hwm >= slice end and skips the (already applied) MERGE,
+then re-writes the checkpoint.  Even without the skip, replay is a value-
+identical no-op because MERGE is idempotent on (url, lsn).
+
+DDL barrier: a DDL event at lsn L caps the batch at hi=L; changes with
+lsn <= L are merged first (drain-before-DDL), then the DDL is applied as a
+metadata-only schema commit, then the stream continues under the evolved
+schema.  DDL application is idempotent so replay after a crash is safe.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ape_dts_spark.functions.extract_text import extract_text_udf
+from ape_dts_spark.lake.table import BUCKET_COL, LakeTable
+from ape_dts_spark.operators.dedup import (
+    lww_dedup,
+    quarantine_null_keys,
+    split_key_change_updates,
+)
+from ape_dts_spark.operators.filters import ChangeFilter, Router
+from ape_dts_spark.operators.merge import merge_into
+
+CHECKPOINT_COLS = [
+    ("job_id", "string"),
+    ("batch_id", "long"),
+    ("hwm_lsn", "long"),
+    ("committed_at", "timestamp"),
+    ("snapshot_id", "long"),
+]
+
+LINEAGE_COLS = [
+    ("job_id", "string"),
+    ("batch_id", "long"),
+    ("partition_id", "int"),
+    ("lsn_min", "long"),
+    ("lsn_max", "long"),
+    ("input_rows", "long"),
+    ("merged_rows", "long"),
+    ("deleted_rows", "long"),
+    ("snapshot_id", "long"),
+    ("wall_ms", "long"),
+]
+
+
+@dataclass
+class EngineConfig:
+    job_id: str
+    pages_path: str
+    changes_path: str  # parquet dir with the LSN-ordered change stream
+    ddl_path: str | None = None
+    checkpoints_path: str | None = None  # default: <pages>/../checkpoints
+    lineage_path: str | None = None
+    batch_lsn_width: int = 100_000  # maxOffsetsPerTrigger analog (DtQueue cap)
+    key_col: str = "url"
+    filter: ChangeFilter = field(default_factory=ChangeFilter)
+    router: Router = field(default_factory=Router)
+    salt: int = 16
+    extract_text: bool = True
+    # test hook: callable(stage: str, batch_id: int) that may raise to
+    # simulate a crash at a precise point ("post_merge", "post_checkpoint")
+    crash_hook: object | None = None
+
+
+class CdcEngine:
+    def __init__(self, spark: SparkSession, cfg: EngineConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.pages = LakeTable.load(cfg.pages_path)
+        cp = cfg.checkpoints_path or cfg.pages_path.rstrip("/") + "_checkpoints"
+        ln = cfg.lineage_path or cfg.pages_path.rstrip("/") + "_lineage"
+        self.checkpoints = (
+            LakeTable.load(cp) if LakeTable.exists(cp) else LakeTable.create(cp, CHECKPOINT_COLS)
+        )
+        self.lineage = (
+            LakeTable.load(ln) if LakeTable.exists(ln) else LakeTable.create(ln, LINEAGE_COLS)
+        )
+        self.metrics: dict[str, float] = {
+            "record_count": 0,
+            "data_bytes": 0,
+            "sinked_records": 0,
+            "ddl_records": 0,
+            "batches": 0,
+        }
+        self._ddls = self._load_ddls()
+
+    # ------------------------------------------------------------- positions
+
+    def _load_ddls(self) -> list[dict]:
+        if not self.cfg.ddl_path:
+            return []
+        rows = (
+            self.spark.read.parquet(self.cfg.ddl_path)
+            .select("lsn", "ddl_type", "payload")
+            .collect()
+        )
+        return sorted(({**r.asDict()} for r in rows), key=lambda d: d["lsn"])
+
+    def committed_hwm(self) -> int:
+        """Resume position = last committed checkpoint (reference
+        checkpoint_position semantics: resume from last *committed* batch)."""
+        df = self.checkpoints.read(self.spark).filter(F.col("job_id") == self.cfg.job_id)
+        row = df.agg(F.max("hwm_lsn").alias("h"), F.max("batch_id").alias("b")).collect()[0]
+        return (row["h"] or 0), (row["b"] if row["b"] is not None else -1)
+
+    def _changes(self) -> DataFrame:
+        return self.spark.read.parquet(self.cfg.changes_path)
+
+    def max_lsn(self) -> int:
+        row = self._changes().agg(F.max("lsn")).collect()[0]
+        return row[0] or 0
+
+    # ------------------------------------------------------------- main loop
+
+    def run(self, max_batches: int | None = None) -> dict:
+        """Consume the change stream to its current end (snapshot+tail replay)."""
+        t0 = time.monotonic()
+        hwm, last_batch = self.committed_hwm()
+        end = self.max_lsn()
+        pending_ddl_lsns = [d["lsn"] for d in self._ddls]
+        if pending_ddl_lsns:
+            end = max(end, max(pending_ddl_lsns))
+        batch_id = last_batch
+        n = 0
+        while hwm < end:
+            if max_batches is not None and n >= max_batches:
+                break
+            batch_id += 1
+            ddl = next((d for d in self._ddls if d["lsn"] > hwm), None)
+            hi = min(hwm + self.cfg.batch_lsn_width, end)
+            barrier = None
+            if ddl is not None and ddl["lsn"] <= hi:
+                hi = ddl["lsn"]  # DDL barrier caps the batch (changes lsn <= L first)
+                barrier = ddl
+            self._apply_batch(batch_id, hwm, hi, barrier)
+            hwm = hi
+            n += 1
+        wall = time.monotonic() - t0
+        return {
+            "batches": n,
+            "hwm": hwm,
+            "events": int(self.metrics["record_count"]),
+            "wall_sec": wall,
+            "events_per_sec": (self.metrics["record_count"] / wall) if wall > 0 else 0.0,
+            "metrics": dict(self.metrics),
+        }
+
+    # ------------------------------------------------------------- one batch
+
+    def _apply_batch(self, batch_id: int, lo: int, hi: int, ddl: dict | None) -> None:
+        t0 = time.monotonic()
+        cfg = self.cfg
+        self.pages.refresh()
+
+        already_applied = int(self.pages.manifest.properties.get("hwm_lsn", "0")) >= hi
+        slice_df = self._changes().filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+        slice_df = cfg.filter.apply(slice_df)
+        slice_df = cfg.router.route_cols(slice_df)
+        slice_df = split_key_change_updates(slice_df, key_col=cfg.key_col)
+        slice_df, _quarantined = quarantine_null_keys(slice_df, [cfg.key_col])
+
+        obs = Observation()
+        slice_df = slice_df.observe(
+            obs,
+            F.count(F.lit(1)).alias("records"),
+            F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("bytes"),
+        )
+
+        # project to the current target schema: for each payload column take the
+        # first matching change-stream column among its current + historical
+        # names (schema evolution renames; Router may add more)
+        schema = self.pages.schema
+        hist_names = self._historical_names()
+        payload = []
+        src_cols = set(slice_df.columns)
+        for f in schema.fields:
+            name = f["name"]
+            if name in ("text", "last_lsn"):
+                continue
+            cand = next((c for c in [name] + hist_names.get(name, []) if c in src_cols), None)
+            if cand is None:
+                continue  # merge_into null-pads missing payload columns
+            payload.append(F.col(cand).alias(name))
+        projected = slice_df.select(*payload, F.col("op"), F.col("lsn"))
+
+        # LWW compaction BEFORE the expensive text extraction: a url hit by a
+        # burst of B events is extracted once, not B times (salted two-phase)
+        deduped = lww_dedup(projected, [cfg.key_col], "lsn", two_phase=True, salt=cfg.salt)
+        if cfg.extract_text and "html" in projected.columns:
+            deduped = deduped.withColumn(
+                "text",
+                F.when(F.col("op") != "delete", extract_text_udf(F.col("html"))).otherwise(
+                    F.lit(None).cast("string")
+                ),
+            )
+
+        if not already_applied:
+            stats = merge_into(
+                self.spark,
+                self.pages,
+                deduped,
+                properties={
+                    "hwm_lsn": str(hi),
+                    "batch_id": str(batch_id),
+                    "job_id": cfg.job_id,
+                },
+                dedup_source=False,  # already deduped above
+            )
+            input_records = int(obs.get["records"] or 0)
+            self.metrics["record_count"] += input_records
+            self.metrics["data_bytes"] += int(obs.get["bytes"] or 0)
+            self.metrics["sinked_records"] += stats.output_rows if stats.output_rows > 0 else 0
+            self._write_lineage(batch_id, lo, hi, stats, input_records, t0)
+        else:
+            # crash-recovery replay: MERGE already committed for this slice —
+            # skip it (manifest hwm guard) and just restore the checkpoint row.
+            stats = None
+
+        self._hook("post_merge", batch_id)
+
+        if ddl is not None:
+            self._apply_ddl(ddl)
+            self.metrics["ddl_records"] += 1
+
+        self._write_checkpoint(batch_id, hi)
+        self.metrics["batches"] += 1
+        self._hook("post_checkpoint", batch_id)
+
+    def _historical_names(self) -> dict[str, list[str]]:
+        """current column name -> older names of the same field id (rename DDL
+        means the change stream may still carry the old name)."""
+        m = self.pages.manifest
+        cur = {f["id"]: f["name"] for f in self.pages.schema.fields}
+        hist: dict[str, list[str]] = {}
+        for sv in sorted(m.schemas, key=int, reverse=True):
+            for f in m.schemas[sv]["fields"]:
+                curname = cur.get(f["id"])
+                if curname and f["name"] != curname:
+                    hist.setdefault(curname, []).append(f["name"])
+        return hist
+
+    def _apply_ddl(self, ddl: dict) -> None:
+        """Apply a schema-evolution event; idempotent so crash replay is safe
+        (reference refresh_meta after DDL, mysql_sinker.rs:123-128)."""
+        p = json.loads(ddl["payload"])
+        t = ddl["ddl_type"]
+        try:
+            if t == "add_column":
+                self.pages.add_column(p["col"], p["type"])
+            elif t == "rename_column":
+                self.pages.rename_column(p["from"], p["to"])
+            elif t == "widen_column":
+                self.pages.widen_column(p["col"], p["to_type"])
+            else:
+                raise ValueError(f"unknown ddl_type {t}")
+        except ValueError as e:
+            msg = str(e)
+            if "already exists" in msg or f"no column {p.get('from', '')}" == msg:
+                return  # already applied before a crash — replay no-op
+            raise
+
+    def _write_lineage(self, batch_id, lo, hi, stats, input_records, t0) -> None:
+        per_bucket = [
+            (
+                self.cfg.job_id,
+                batch_id,
+                int(b),
+                lo + 1,
+                hi,
+                input_records,
+                stats.output_rows,
+                stats.deleted_rows,
+                stats.new_version,
+                int((time.monotonic() - t0) * 1000),
+            )
+            for b in stats.affected_buckets
+        ] or [
+            (
+                self.cfg.job_id,
+                batch_id,
+                -1,
+                lo + 1,
+                hi,
+                0,
+                0,
+                0,
+                self.pages.version,
+                int((time.monotonic() - t0) * 1000),
+            )
+        ]
+        df = self.spark.createDataFrame(
+            per_bucket,
+            "job_id string, batch_id long, partition_id int, lsn_min long, lsn_max long,"
+            " input_rows long, merged_rows long, deleted_rows long, snapshot_id long, wall_ms long",
+        )
+        self.lineage.append(df)
+
+    def _write_checkpoint(self, batch_id: int, hwm: int) -> None:
+        df = self.spark.sql(
+            "select '{j}' as job_id, {b}L as batch_id, {h}L as hwm_lsn,"
+            " current_timestamp() as committed_at, {s}L as snapshot_id".format(
+                j=self.cfg.job_id, b=batch_id, h=hwm, s=self.pages.version
+            )
+        )
+        self.checkpoints.append(df)
+
+    def _hook(self, stage: str, batch_id: int) -> None:
+        if self.cfg.crash_hook is not None:
+            self.cfg.crash_hook(stage, batch_id)

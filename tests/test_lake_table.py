@@ -1,0 +1,110 @@
+"""LakeTable format: atomic commits, bucket pruning, schema evolution."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ape_dts_spark.lake.table import CommitConflict, LakeTable
+
+COLS = [("k", "string", False), ("v", "int", True)]
+
+
+def _mk(tmp_path, name="t", bucket_count=4):
+    return LakeTable.create(str(tmp_path / name), COLS, bucket_key="k", bucket_count=bucket_count)
+
+
+def test_create_append_read(spark, tmp_path):
+    t = _mk(tmp_path)
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, v int")
+    t.append(df)
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [("a", 1), ("b", 2), ("c", 3)]
+    # reload from disk sees the same committed state
+    t2 = LakeTable.load(t.path)
+    assert t2.version == 1
+    assert sorted((r["k"], r["v"]) for r in t2.read(spark).collect()) == got
+
+
+def test_bucket_pruning_reads_only_affected_files(spark, tmp_path):
+    t = _mk(tmp_path, bucket_count=8)
+    rows = [(f"k{i}", i) for i in range(100)]
+    t.append(spark.createDataFrame(rows, "k string, v int"))
+    # pick the bucket of k0 and prune to it
+    b0 = int(
+        spark.range(1).select(F.pmod(F.xxhash64(F.lit("k0")), F.lit(8)).cast("int")).collect()[0][0]
+    )
+    pruned = t.read(spark, buckets=[b0])
+    assert any(r["k"] == "k0" for r in pruned.collect())
+    assert len(t.input_files(buckets=[b0])) < len(t.input_files())
+    # every row in the pruned read actually belongs to bucket b0
+    chk = pruned.select(F.pmod(F.xxhash64(F.col("k")), F.lit(8)).cast("int").alias("b")).distinct()
+    assert [r["b"] for r in chk.collect()] == [b0]
+
+
+def test_overwrite_buckets_is_copy_on_write(spark, tmp_path):
+    t = _mk(tmp_path, bucket_count=4)
+    t.append(spark.createDataFrame([(f"k{i}", i) for i in range(40)], "k string, v int"))
+    before_files = {f["path"]: f for f in t.manifest.files}
+    # rewrite bucket 0 only
+    new = spark.createDataFrame([("k0", 999)], "k string, v int").withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col("k")), F.lit(4)).cast("int")
+    )
+    target_bucket = new.select("_bucket").collect()[0][0]
+    new = new.filter(F.col("_bucket") == target_bucket)
+    t.overwrite_buckets(new, [target_bucket])
+    after = t.manifest.files
+    # untouched buckets keep identical file entries (no rewrite)
+    untouched = [f for f in after if f["bucket"] != target_bucket]
+    assert all(f["path"] in before_files for f in untouched)
+    assert all(f["path"] not in before_files for f in after if f["bucket"] == target_bucket)
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got["k0"] == 999
+
+
+def test_schema_evolution_add_rename_widen(spark, tmp_path):
+    t = _mk(tmp_path)
+    t.append(spark.createDataFrame([("a", 1)], "k string, v int"))
+    t.add_column("score", "int")
+    t.append(spark.createDataFrame([("b", 2, 7)], "k string, v int, score int"))
+    t.rename_column("score", "rank")
+    t.widen_column("rank", "long")
+    rows = {r["k"]: r for r in t.read(spark).collect()}
+    # old file null-padded; new file's values mapped by field id through rename+widen
+    assert rows["a"]["rank"] is None
+    assert rows["b"]["rank"] == 7
+    assert dict(t.read(spark).dtypes)["rank"] == "bigint"
+    # illegal widens rejected
+    with pytest.raises(ValueError):
+        t.widen_column("k", "long")
+    with pytest.raises(ValueError):
+        t.add_column("rank", "int")
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    t = _mk(tmp_path)
+    t.append(spark.createDataFrame([("a", 1)], "k string, v int"))
+    v1 = t.version
+    t.append(spark.createDataFrame([("b", 2)], "k string, v int"))
+    assert t.read_version(spark, v1).count() == 1
+    assert t.read(spark).count() == 2
+    assert t.history() == [0, 1, 2]
+
+
+def test_commit_conflict_single_winner(spark, tmp_path):
+    t = _mk(tmp_path)
+    t.append(spark.createDataFrame([("a", 1)], "k string, v int"))
+    stale = LakeTable.load(t.path)
+    stale.manifest.version = t.version  # simulate a racing writer staging v(N+1)
+    m = stale._next_manifest()
+    t._publish(t._next_manifest())  # winner commits first
+    with pytest.raises(CommitConflict):
+        stale._publish(m)
+
+
+def test_unbucketed_table(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "log"), [("a", "long"), ("b", "string")])
+    t.append(spark.createDataFrame([(1, "x")], "a long, b string"))
+    t.append(spark.createDataFrame([(2, "y")], "a long, b string"))
+    assert t.read(spark).count() == 2
+    assert os.path.isdir(os.path.join(t.path, "_meta"))

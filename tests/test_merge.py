@@ -1,0 +1,129 @@
+"""merge_into semantics: upsert/delete, LWW, idempotence, bucket pruning."""
+
+from pyspark.sql import functions as F
+
+from ape_dts_spark.lake.table import LakeTable
+from ape_dts_spark.operators.dedup import lww_dedup, reverse_ops, split_key_change_updates
+from ape_dts_spark.operators.merge import merge_into
+
+PAGES = [
+    ("url", "string", False),
+    ("v", "int", True),
+    ("last_lsn", "long", True),
+]
+
+
+def _table(spark, tmp_path, rows):
+    t = LakeTable.create(str(tmp_path / "pages"), PAGES, bucket_key="url", bucket_count=4)
+    if rows:
+        t.append(spark.createDataFrame(rows, "url string, v int, last_lsn long"))
+    return t
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, "url string, v int, op string, lsn long")
+
+
+def _state(spark, t):
+    return {r["url"]: (r["v"], r["last_lsn"]) for r in t.read(spark).collect()}
+
+
+def test_insert_update_delete(spark, tmp_path):
+    t = _table(spark, tmp_path, [("a", 1, 0), ("b", 2, 0), ("c", 3, 0)])
+    ch = _changes(
+        spark,
+        [
+            ("a", 10, "update", 5),   # update existing
+            ("b", None, "delete", 6),  # delete existing
+            ("d", 40, "insert", 7),   # brand new
+            ("e", 50, "update", 8),   # update-on-missing upserts (REPLACE semantics)
+        ],
+    )
+    merge_into(spark, t, ch)
+    assert _state(spark, t) == {"a": (10, 5), "c": (3, 0), "d": (40, 7), "e": (50, 8)}
+
+
+def test_lww_within_batch(spark, tmp_path):
+    t = _table(spark, tmp_path, [])
+    ch = _changes(
+        spark,
+        [
+            ("a", 1, "insert", 1),
+            ("a", 2, "update", 3),
+            ("a", 9, "update", 2),  # stale, must lose
+            ("b", 1, "insert", 4),
+            ("b", None, "delete", 5),  # delete wins
+            ("c", 1, "insert", 6),
+            ("c", None, "delete", 7),
+            ("c", 8, "insert", 9),  # delete-then-reinsert
+        ],
+    )
+    stats = merge_into(spark, t, ch)
+    assert _state(spark, t) == {"a": (2, 3), "c": (8, 9)}
+    assert stats.source_rows == 3  # post-dedup: one survivor per url
+    assert stats.deleted_rows == 1  # b
+
+
+def test_idempotent_replay_is_noop(spark, tmp_path):
+    t = _table(spark, tmp_path, [("a", 1, 0)])
+    ch = _changes(spark, [("a", 10, "update", 5), ("b", 2, "insert", 6), ("a", None, "delete", 7)])
+    merge_into(spark, t, ch)
+    s1 = _state(spark, t)
+    merge_into(spark, t, ch)  # full replay
+    merge_into(spark, t, _changes(spark, [("b", 99, "update", 3)]))  # stale straggler
+    assert _state(spark, t) == s1 == {"b": (2, 6)}
+
+
+def test_bucket_pruning_on_merge(spark, tmp_path):
+    t = _table(spark, tmp_path, [(f"u{i}", i, 0) for i in range(100)])
+    before = {f["path"] for f in t.manifest.files}
+    stats = merge_into(spark, t, _changes(spark, [("u0", 999, "update", 1)]))
+    assert len(stats.affected_buckets) == 1
+    untouched = [f for f in t.manifest.files if f["bucket"] not in stats.affected_buckets]
+    assert all(f["path"] in before for f in untouched)
+    assert _state(spark, t)["u0"] == (999, 1)
+    assert _state(spark, t)["u99"] == (99, 0)
+
+
+def test_split_key_change_updates(spark):
+    df = spark.createDataFrame(
+        [
+            ("new", "old", "update", 5, 1),
+            ("x", None, "update", 6, 2),
+            ("y", None, "insert", 7, 3),
+        ],
+        "url string, before_url string, op string, lsn long, v int",
+    )
+    out = split_key_change_updates(df)
+    rows = {(r["url"], r["op"]) for r in out.collect()}
+    assert rows == {
+        ("old", "delete"),
+        ("new", "insert"),
+        ("x", "update"),
+        ("y", "insert"),
+    }
+    assert out.count() == 4
+
+
+def test_reverse_ops(spark):
+    df = spark.createDataFrame(
+        [("a", "insert"), ("b", "delete"), ("c", "update")], "url string, op string"
+    )
+    got = {r["url"]: r["op"] for r in reverse_ops(df).collect()}
+    assert got == {"a": "delete", "b": "insert", "c": "update"}
+
+
+def test_two_phase_dedup_equals_single_phase(spark):
+    import random
+
+    random.seed(7)
+    rows = [(f"u{random.randrange(20)}", random.random(), i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "url string, v double, lsn long")
+    a = sorted(
+        (r["url"], r["lsn"]) for r in lww_dedup(df, ["url"], "lsn", two_phase=True).collect()
+    )
+    b = sorted(
+        (r["url"], r["lsn"]) for r in lww_dedup(df, ["url"], "lsn", two_phase=False).collect()
+    )
+    assert a == b
+    assert len(a) == 20
