@@ -1,0 +1,80 @@
+"""Data check / revise — source-vs-target consistency verification.
+
+Reference: the check sink (dt-connector/src/sinker/mysql/mysql_checker.rs:
+118-158, base_checker.rs:21-83) SELECTs target rows by pk batch and
+hash-joins them in memory against source rows, emitting `miss` (absent on
+target) and `diff` (value mismatch, with per-column detail) logs; the
+revise path (mysql_check_extractor.rs:50-60) re-reads those logs and
+re-applies the affected keys.
+
+Spark-first: one full-outer join on the key classifies every row in a
+single distributed pass — no per-batch point SELECTs, no driver-side hash
+maps.  Revise = left-semi join of the change stream against the miss/diff
+keys, re-driven through the normal MERGE path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check(
+    source: DataFrame,
+    target: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Full-outer-join consistency check.
+
+    Returns one row per key with `check_result` in:
+      'match' | 'diff' | 'miss' (in source, absent on target) |
+      'extra' (on target, absent in source)
+    plus `diff_cols` — the list of mismatching column names (reference emits
+    per-column diff detail in its diff log).
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in source.columns if c in set(target.columns) and c not in key_cols]
+    s = source.select(
+        *[F.col(k).alias(f"_k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_s_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_s"),
+    )
+    t = target.select(
+        *[F.col(k).alias(f"_k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_t_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_t"),
+    )
+    j = s.join(t, on=[f"_k_{k}" for k in key_cols], how="full_outer")
+    mism = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_s_{c}").eqNullSafe(F.col(f"_t_{c}")), F.lit(c)
+                ).otherwise(F.lit(None))
+                for c in compare_cols
+            ]
+        )
+    )
+    result = (
+        F.when(F.col("_in_t").isNull(), F.lit("miss"))
+        .when(F.col("_in_s").isNull(), F.lit("extra"))
+        .when(F.size(mism) > 0, F.lit("diff"))
+        .otherwise(F.lit("match"))
+    )
+    return j.select(
+        *[F.col(f"_k_{k}").alias(k) for k in key_cols],
+        result.alias("check_result"),
+        mism.alias("diff_cols"),
+    )
+
+
+def revise_keys(check_df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Keys needing re-apply (the reference's check-log re-extraction input)."""
+    return check_df.filter(F.col("check_result").isin("miss", "diff")).select(*key_cols)
+
+
+def revise(changes: DataFrame, check_df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Restrict the change stream to miss/diff keys (left-semi) for re-MERGE."""
+    keys = revise_keys(check_df, key_cols)
+    return changes.join(F.broadcast(keys), on=key_cols, how="left_semi")

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Brute-force cosine top-k as the exact baseline, plus two sub-quadratic
+scale paths: random-hyperplane LSH bucketing and a coarse-quantizer IVF
+(k-means-lite via deterministic seeded centroids).  Dot products run
+JVM-side via `aggregate(zip_with(...))` — no Python in the scan loop.
+
+At 10^10-vector scale the broadcast side is the (small) query set; the
+corpus is never shuffled for brute-force scoring, and LSH/IVF restrict
+scoring to matching buckets/cells only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    # cast BEFORE multiplying: float*float->float loses bits vs double math,
+    # and external oracles (duckdb) compute in double
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_sim(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the (small) query set against
+    the corpus, score JVM-side, keep k by window.  Output:
+    (query_id, neighbor_id, cos_sim, rank)."""
+    q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = q.crossJoin(c).filter(F.col(query_id_col) != F.col("neighbor_id"))
+    scored = scored.select(
+        F.col(query_id_col),
+        F.col("neighbor_id"),
+        cosine_sim(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (hash-derived, no RNG
+    state): plane[p][d] in {-1..1} from a integer mix of (seed, p, d)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            x = (seed * 1_000_003 + p * 10_007 + d * 101) % 2_000_003
+            row.append(((x % 1999) / 999.5) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit signature of a vector against the hyperplanes -> long bucket."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = _dot(vec_col, F.array(*[F.lit(x) for x in plane]))
+        sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH bucket.
+
+    Recall/cost tradeoff via n_planes (fewer planes = bigger buckets).  The
+    join is an equi-join on bucket -> shuffle bounded by bucket sizes, the
+    scale path when the query set is too large to broadcast."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    scored = (
+        q.join(c, "_bucket")
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(
+            F.col(query_id_col),
+            F.col("neighbor_id"),
+            cosine_sim(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Coarse quantizer: deterministic seeded centroids = the embeddings of
+    hash-picked corpus rows; assign each vector to its nearest centroid.
+    Returns (assignments, centroids).  An IVF probe then scores only the
+    query's nearest cell(s) — the classic sub-linear ANN layout."""
+    picked = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_r", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000)))
+        .orderBy("_r")
+        .limit(n_cells)
+        .withColumn("cell", F.monotonically_increasing_id().cast("int"))
+        .select("cell", F.col(vec_col).alias("centroid"))
+    )
+    cents = F.broadcast(picked)
+    assigned = (
+        corpus.crossJoin(cents)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cell"),
+            cosine_sim(F.col(vec_col), F.col("centroid")).alias("_sim"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell").asc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    return assigned, picked

@@ -1,0 +1,107 @@
+"""Text analysis for training-data pipelines — all JVM-side built-ins.
+
+Language ID (stopword-marker heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting.  Every function is a pure Column expression -> whole-stage
+codegen, no UDFs, deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+# tiny marker lexicons per language — deterministic n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+}
+
+
+def _words(col):
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy (runs of letters/digits/
+    punctuation as separate tokens — the standard pretokenizer split)."""
+    ws = F.size(F.filter(_words(F.col(text_col)), lambda w: F.length(w) > 0))
+    # RE2-safe pretokenizer (no lookarounds): letter/digit runs and single
+    # punctuation marks each count as one token
+    bpe_ish = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
+    return docs.select(
+        F.col(id_col),
+        ws.cast("long").alias("n_tokens_ws"),
+        bpe_ish.cast("long").alias("n_tokens_bpe"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style cheap quality signals + a composite score in [0,1]."""
+    words = F.filter(_words(F.col(text_col)), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    mean_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
+    punct_chars = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    punct_ratio = F.when(n_chars > 0, punct_chars / n_chars).otherwise(F.lit(0.0))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_words / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2
+        + alpha_ratio * 0.2
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: count marker hits per language, take
+    the argmax (ties broken by language code order), 'und' if nothing hits."""
+    words = _words(F.col(text_col))
+
+    def _hits(markers):
+        # NB: the HOF lambda must be single-arg — a second (default) arg would
+        # be interpreted by Spark as the element-index parameter
+        return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+    scores = [
+        F.struct(_hits(markers).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    # argmax by (hits, lang-reversed) — array_max picks lexicographically
+    # largest struct: highest hits, then latest code; to prefer earliest code
+    # on ties we negate via sort+first instead
+    arr = F.sort_array(F.array(*scores), asc=False)
+    best = arr[0]
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return docs.select(F.col(id_col), pred.alias("pred_lang"), best["hits"].cast("long").alias("marker_hits"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content fingerprints: full-text digest, normalized digest (case/space
+    insensitive), and a head fingerprint over the first 8 words — the cheap
+    building blocks of URL-level / doc-level dedup cascades."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    head = F.concat_ws(" ", F.slice(_words(F.col(text_col)), 1, 8))
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("digest"),
+        F.md5(F.trim(norm)).alias("digest_norm"),
+        F.md5(head).alias("digest_head"),
+    )

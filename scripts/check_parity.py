@@ -1,0 +1,107 @@
+"""Local stand-in for the driver's CORRECTNESS gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet tables,
+compare row count, column names, and exact sorted values.
+
+Usage: python scripts/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from ape_dts_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for rec in df.itertuples(index=False):
+        row = []
+        for v in rec:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append(None)
+            elif isinstance(v, float):
+                row.append(round(v, 6))
+            elif hasattr(v, "isoformat"):
+                row.append(v.isoformat())
+            elif isinstance(v, (bytes, bytearray)):
+                row.append(bytes(v).hex())
+            elif isinstance(v, bool):
+                row.append(bool(v))
+            elif isinstance(v, (int,)):
+                row.append(int(v))
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    return sorted(rows, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("parity", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle — rows-only)")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+        if s_cols != o_cols:
+            print(f"FAIL  {name}: columns {s_cols} != {o_cols}")
+            n_fail += 1
+            continue
+        if len(sdf) != len(odf):
+            print(f"FAIL  {name}: rowcount {len(sdf)} != {len(odf)}")
+            n_fail += 1
+            continue
+        sn, on_ = normalize(sdf), normalize(odf)
+        if sn != on_:
+            bad = [(a, b) for a, b in zip(sn, on_) if a != b][:3]
+            print(f"FAIL  {name}: values differ, first diffs: {bad}")
+            n_fail += 1
+            continue
+        print(f"PASS  {name}: {len(sdf)} rows")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
