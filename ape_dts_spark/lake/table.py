@@ -40,7 +40,7 @@ import shutil
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -70,6 +70,10 @@ _WIDEN_OK = {
 }
 
 BUCKET_COL = "_bucket"
+# upsert/delete marker persisted in merge-on-read delta files (the analog of
+# Iceberg equality-deletes / the reference's cdc_action ORC column,
+# sinker/foxlake/foxlake_pusher.rs:384-400)
+OP_MARKER_COL = "_op"
 
 
 def spark_type(name: str) -> T.DataType:
@@ -209,21 +213,20 @@ class LakeTable:
 
     # ---------------------------------------------------------------- read
 
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
-        """Read the current snapshot, pruned to `buckets` if given.
-
-        Files written under old schema versions are mapped to the current
-        schema by column id (rename-safe), null-padded for added columns and
-        cast for widened ones.  Grouped by schema_version so each group is a
-        single vectorized parquet scan.
-        """
+    def _read_kind(
+        self, spark: SparkSession, kind: str, buckets: list[int] | None
+    ) -> DataFrame | None:
+        """Read all files of one kind mapped to the current schema (by column
+        id: rename-safe, null-padded adds, cast widens).  Grouped by
+        schema_version so each group is one vectorized parquet scan.  Delta
+        files additionally carry the `_op` marker column."""
         cur = self.schema
-        files = self.manifest.files
+        files = [f for f in self.manifest.files if f.get("kind", "base") == kind]
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
         if not files:
-            return spark.createDataFrame([], cur.to_struct())
+            return None
         by_sv: dict[int, list[str]] = {}
         for f in files:
             by_sv.setdefault(int(f["schema_version"]), []).append(
@@ -233,7 +236,12 @@ class LakeTable:
         for sv, paths in sorted(by_sv.items()):
             old = TableSchema.from_json(self.manifest.schemas[str(sv)])
             old_by_id = {f["id"]: f for f in old.fields}
-            raw = spark.read.schema(old.to_struct()).parquet(*paths)
+            read_struct = old.to_struct()
+            if kind == "delta":
+                read_struct = T.StructType(
+                    read_struct.fields + [T.StructField(OP_MARKER_COL, T.StringType(), True)]
+                )
+            raw = spark.read.schema(read_struct).parquet(*paths)
             sel = []
             for f in cur.fields:
                 of = old_by_id.get(f["id"])
@@ -244,11 +252,42 @@ class LakeTable:
                     if of["type"] != f["type"]:
                         c = c.cast(spark_type(f["type"]))
                     sel.append(c.alias(f["name"]))
+            if kind == "delta":
+                sel.append(F.col(OP_MARKER_COL))
             parts.append(raw.select(*sel))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
+
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        """Read the current **resolved** snapshot, pruned to `buckets`.
+
+        Merge-on-read: base files union delta files (upsert/delete markers
+        from MOR merges), resolved to one surviving row per key by a LWW
+        window over (order_col desc, delta-over-base).  Tables without
+        deltas skip the window entirely (plain scan)."""
+        cur = self.schema
+        base = self._read_kind(spark, "base", buckets)
+        delta = self._read_kind(spark, "delta", buckets)
+        if base is None and delta is None:
+            return spark.createDataFrame([], cur.to_struct())
+        if delta is None:
+            return base
+        order_col = self.manifest.properties.get("merge_order_col", "last_lsn")
+        key = self.manifest.bucket_key
+        if base is None:
+            base = spark.createDataFrame([], cur.to_struct())
+        b = base.withColumn(OP_MARKER_COL, F.lit("upsert")).withColumn("_src", F.lit(0))
+        d = delta.withColumn("_src", F.lit(1))
+        u = b.unionByName(d)
+        w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), F.col("_src").desc())
+        return (
+            u.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .filter(F.col(OP_MARKER_COL) != "delete")
+            .drop("_rn", "_src", OP_MARKER_COL)
+        )
 
     def input_files(self, buckets: list[int] | None = None) -> list[dict]:
         if buckets is None:
@@ -258,9 +297,15 @@ class LakeTable:
 
     # ---------------------------------------------------------------- write
 
-    def _stage_write(self, df: DataFrame, with_bucket_col: bool) -> list[dict]:
+    def _stage_write(self, df: DataFrame, with_bucket_col: bool, kind: str = "base") -> list[dict]:
         """Write df to a staging dir and move data files under data/; returns file entries."""
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        if with_bucket_col:
+            # cluster by bucket so each bucket is written by one task -> one
+            # file (otherwise every input partition emits a file per bucket:
+            # O(partitions x buckets) tiny files).  At real scale raise
+            # files_per_bucket via a salt term to honor a target file size.
+            df = df.repartition(self.manifest.bucket_count, F.col(BUCKET_COL))
         writer = df.write.mode("overwrite")
         if with_bucket_col:
             writer = writer.partitionBy(BUCKET_COL)
@@ -276,28 +321,34 @@ class LakeTable:
                     for i, fn in enumerate(sorted(os.listdir(os.path.join(staging, d)))):
                         if not fn.endswith(".parquet"):
                             continue
-                        rel = f"data/v{nv}-b{bucket}-{i}-{uuid.uuid4().hex[:8]}.parquet"
-                        shutil.move(os.path.join(staging, d, fn), os.path.join(self.path, rel))
+                        rel = f"data/v{nv}-{kind[0]}{bucket}-{i}-{uuid.uuid4().hex[:8]}.parquet"
+                        dst = os.path.join(self.path, rel)
+                        shutil.move(os.path.join(staging, d, fn), dst)
                         entries.append(
                             {
                                 "path": rel,
                                 "bucket": bucket,
                                 "schema_version": self.manifest.current_schema,
                                 "rows": None,
+                                "kind": kind,
+                                "bytes": os.path.getsize(dst),
                             }
                         )
             else:
                 for i, fn in enumerate(sorted(os.listdir(staging))):
                     if not fn.endswith(".parquet"):
                         continue
-                    rel = f"data/v{nv}-b0-{i}-{uuid.uuid4().hex[:8]}.parquet"
-                    shutil.move(os.path.join(staging, fn), os.path.join(self.path, rel))
+                    rel = f"data/v{nv}-{kind[0]}0-{i}-{uuid.uuid4().hex[:8]}.parquet"
+                    dst = os.path.join(self.path, rel)
+                    shutil.move(os.path.join(staging, fn), dst)
                     entries.append(
                         {
                             "path": rel,
                             "bucket": 0,
                             "schema_version": self.manifest.current_schema,
                             "rows": None,
+                            "kind": kind,
+                            "bytes": os.path.getsize(dst),
                         }
                     )
         finally:
@@ -351,6 +402,60 @@ class LakeTable:
         m = self._next_manifest(files=self.manifest.files + entries, properties=props)
         self._publish(m)
         return m.version
+
+    def append_delta(
+        self, df: DataFrame, properties: dict[str, str] | None = None
+    ) -> tuple[int, list[int]]:
+        """Merge-on-read fast path: append bucket-partitioned delta files
+        carrying upsert/delete markers (`_op`), touching NO existing files.
+
+        O(batch) IO regardless of table size — the scale path for CDC apply;
+        readers resolve last-write-wins per key (see read()), and compact()
+        folds deltas into base files.  Returns (version, affected buckets —
+        derived from the written files, no extra Spark job)."""
+        cur = self.schema
+        cols = [F.col(f["name"]).cast(spark_type(f["type"])).alias(f["name"]) for f in cur.fields]
+        out = df.select(*cols, F.col(OP_MARKER_COL)).withColumn(BUCKET_COL, self.bucket_expr())
+        entries = self._stage_write(out, with_bucket_col=True, kind="delta")
+        props = dict(self.manifest.properties)
+        props.update(properties or {})
+        m = self._next_manifest(files=self.manifest.files + entries, properties=props)
+        self._publish(m)
+        return m.version, sorted({e["bucket"] for e in entries})
+
+    def delta_stats(self) -> dict:
+        """Per-kind byte totals + per-bucket delta fraction (compaction input)."""
+        base_b = sum(f.get("bytes") or 0 for f in self.manifest.files if f.get("kind", "base") == "base")
+        delta_b = sum(f.get("bytes") or 0 for f in self.manifest.files if f.get("kind") == "delta")
+        per_bucket: dict[int, dict] = {}
+        for f in self.manifest.files:
+            d = per_bucket.setdefault(f["bucket"], {"base": 0, "delta": 0})
+            d[f.get("kind", "base")] += f.get("bytes") or 0
+        return {
+            "base_bytes": base_b,
+            "delta_bytes": delta_b,
+            "delta_fraction": delta_b / (base_b + delta_b) if (base_b + delta_b) else 0.0,
+            "per_bucket": per_bucket,
+        }
+
+    def compact(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> int:
+        """Fold delta files into base files (resolved LWW rows), per bucket.
+
+        Targeted: pass `buckets` to compact only the hot ones; default
+        compacts every bucket that has deltas.  Atomic single commit."""
+        if buckets is None:
+            buckets = sorted(
+                {f["bucket"] for f in self.manifest.files if f.get("kind") == "delta"}
+            )
+        if not buckets:
+            return self.version
+        resolved = self.read(spark, buckets=buckets).withColumn(BUCKET_COL, self.bucket_expr())
+        return self.overwrite_buckets(resolved, buckets, properties=properties)
 
     def overwrite_buckets(
         self,

@@ -1,28 +1,30 @@
-"""MERGE INTO — bucket-pruned copy-on-write upsert/delete apply.
+"""MERGE INTO — keyed upsert/delete apply with two physical strategies.
 
 The single operator that replaces the reference's whole sink layer: batched
 DELETE + batched INSERT/REPLACE + serial UPDATE with retry fallbacks
 (reference dt-connector/src/sinker/mysql/mysql_sinker.rs:42-247,
 rdb_query_builder.rs:122-351) and the foxlake lake-merge two-phase push
 (sinker/foxlake/foxlake_merger.rs:49-118 — `MERGE INTO ... DEDUPLICATION=
-'SOURCE'`), which is the reference's own lake-sink precedent for this shape.
+'SOURCE'`), the reference's own lake-sink precedent for this shape.
 
-Scale design (10^10 rows / 100 TB target):
-* The target table is bucket(N, url)-partitioned.  The merge source is
-  assigned the same bucket transform, so only **affected buckets** are read
-  and rewritten — write amplification is O(touched buckets), not O(table).
-* Target-side scan is file-pruned via the manifest (no task ever opens an
-  unaffected bucket's files).
-* The "join" is expressed as union + per-key LWW window partitioned by the
-  bucket-aligned key, so the only shuffle is one hash exchange of
-  (target-affected ∪ source) on the key — no separate join shuffle, and
-  pre-merge salting + AQE skew handling bound hot-url skew.
-* Idempotence: every surviving row stores `last_lsn`; replaying an already
-  applied slice makes the stored row win/tie the LWW window, so the rewrite
-  is a value-identical no-op.  This is the reference's REPLACE-based
-  idempotence (docs/en/config.md:30) made exact.
-* Row counts come from the Observation API (metrics piggyback on the write
-  job — no extra count() pass over the data).
+Physical strategies (10^10-row / 100 TB design point):
+
+* **mor (default, merge-on-read)** — the deduped batch is appended as
+  bucket-partitioned delta files with upsert/delete markers.  NO target
+  read, NO rewrite: IO is O(batch) regardless of table size, which is what
+  lets throughput scale with executors instead of saturating on rewrite IO
+  (this is the Flink-CDC -> Iceberg equality-delete design).  Readers
+  resolve last-write-wins per key; LakeTable.compact() folds deltas into
+  base files when their fraction passes a threshold.
+* **cow (copy-on-write)** — read affected buckets (file-pruned via the
+  manifest), union with the batch, LWW window, rewrite those buckets.
+  Write amplification O(touched buckets); best for read-heavy tables with
+  localized updates.
+
+Both are idempotent on (url, lsn): every row carries `last_lsn`, so a
+replayed slice loses/ties the LWW window and the result is value-identical
+(the reference's REPLACE idempotence, docs/en/config.md:30, made exact).
+Row counts ride the Observation API — no extra pass over the data.
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ape_dts_spark.lake.table import BUCKET_COL, LakeTable, spark_type
+from ape_dts_spark.lake.table import BUCKET_COL, OP_MARKER_COL, LakeTable, spark_type
 from ape_dts_spark.operators.dedup import lww_dedup
 
 OP_COL = "op"
@@ -49,7 +51,27 @@ class MergeStats:
     deleted_rows: int
     new_version: int
     wall_ms: int
+    mode: str = "mor"
     skipped: bool = False
+
+
+def _source_payload(table: LakeTable, src: DataFrame, include_last_lsn: bool) -> list:
+    types = {f["name"]: f["type"] for f in table.schema.fields}
+    cols = []
+    for f in table.schema.fields:
+        c = f["name"]
+        if c == LAST_LSN_COL:
+            if include_last_lsn:
+                cols.append(F.col(LSN_COL).cast("long").alias(LAST_LSN_COL))
+            continue
+        cols.append(
+            (
+                F.col(c).cast(spark_type(types[c]))
+                if c in src.columns
+                else F.lit(None).cast(spark_type(types[c]))
+            ).alias(c)
+        )
+    return cols
 
 
 def merge_into(
@@ -58,54 +80,72 @@ def merge_into(
     changes: DataFrame,
     properties: dict[str, str] | None = None,
     dedup_source: bool = True,
+    mode: str = "mor",
 ) -> MergeStats:
     """Apply a keyed change batch (op in insert|update|delete, lsn-ordered).
 
     `changes` columns: the table's payload columns (current schema, minus
     `last_lsn`; missing payload columns are null-padded) + `op` + `lsn`.
-    insert/update are both upserts (reference REPLACE semantics,
-    docs/en/config.md:30); delete removes the row.  One committed snapshot
-    per call.
+    insert/update are both upserts (reference REPLACE semantics); delete
+    removes the row.  One committed snapshot per call.
     """
     key = table.manifest.bucket_key
     t0 = time.monotonic()
 
     src = lww_dedup(changes, [key], LSN_COL) if dedup_source else changes
-    src = src.withColumn(BUCKET_COL, table.bucket_expr())
 
+    if mode == "mor":
+        delta = src.select(
+            *_source_payload(table, src, include_last_lsn=True),
+            F.when(F.col(OP_COL) == "delete", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias(OP_MARKER_COL),
+        )
+        obs = Observation()
+        delta = delta.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.col(OP_MARKER_COL) == "delete", 1).otherwise(0)).alias("deletes"),
+        )
+        new_version, affected = table.append_delta(delta, properties=properties)
+        got = obs.get
+        n_rows, n_del = int(got["rows"] or 0), int(got["deletes"] or 0)
+        return MergeStats(
+            affected_buckets=affected,
+            source_rows=n_rows,
+            output_rows=n_rows - n_del,
+            deleted_rows=n_del,
+            new_version=new_version,
+            wall_ms=int((time.monotonic() - t0) * 1000),
+            mode="mor",
+        )
+
+    # ---------------- copy-on-write path ----------------
+    src = src.withColumn(BUCKET_COL, table.bucket_expr())
     # Bucket pruning: which of the N buckets does this batch touch?  A tiny
     # collect (<= bucket_count ints) — the lake analog of partition pruning.
     affected = sorted(r[0] for r in src.select(BUCKET_COL).distinct().collect())
     if not affected:
-        return MergeStats([], 0, 0, 0, table.version, int((time.monotonic() - t0) * 1000), True)
+        return MergeStats(
+            [], 0, 0, 0, table.version, int((time.monotonic() - t0) * 1000), "cow", True
+        )
 
-    types = {f["name"]: f["type"] for f in table.schema.fields}
     payload_cols = [f["name"] for f in table.schema.fields if f["name"] != LAST_LSN_COL]
-
     target = table.read(spark, buckets=affected)
     t_side = target.select(
         *[F.col(c) for c in payload_cols],
         F.col(LAST_LSN_COL).alias("_order"),
         F.lit(0).alias("_src"),
-        F.lit("upsert").alias("_op"),
+        F.lit("upsert").alias("_mop"),
     )
     s_side = src.select(
-        *[
-            (
-                F.col(c).cast(spark_type(types[c]))
-                if c in src.columns
-                else F.lit(None).cast(spark_type(types[c]))
-            ).alias(c)
-            for c in payload_cols
-        ],
+        *_source_payload(table, src, include_last_lsn=False),
         F.col(LSN_COL).cast("long").alias("_order"),
         F.lit(1).alias("_src"),
-        F.when(F.col(OP_COL) == "delete", F.lit("delete")).otherwise(F.lit("upsert")).alias("_op"),
+        F.when(F.col(OP_COL) == "delete", F.lit("delete")).otherwise(F.lit("upsert")).alias("_mop"),
     )
-
     obs_src = Observation()
     s_side = s_side.observe(obs_src, F.count(F.lit(1)).alias("rows"))
-
     merged = lww_dedup(
         t_side.unionByName(s_side),
         [key],
@@ -117,17 +157,15 @@ def merge_into(
     merged = merged.observe(
         obs_out,
         F.count(F.lit(1)).alias("rows"),
-        F.sum(F.when(F.col("_op") == "delete", 1).otherwise(0)).alias("deletes"),
+        F.sum(F.when(F.col("_mop") == "delete", 1).otherwise(0)).alias("deletes"),
     )
     survivors = (
-        merged.filter(F.col("_op") != "delete")
+        merged.filter(F.col("_mop") != "delete")
         .withColumn(LAST_LSN_COL, F.col("_order"))
         .withColumn(BUCKET_COL, table.bucket_expr())
-        .drop("_order", "_src", "_op")
+        .drop("_order", "_src", "_mop")
     )
-
     new_version = table.overwrite_buckets(survivors, affected, properties=properties)
-
     out = obs_out.get
     return MergeStats(
         affected_buckets=affected,
@@ -136,4 +174,5 @@ def merge_into(
         deleted_rows=int(out["deletes"] or 0),
         new_version=new_version,
         wall_ms=int((time.monotonic() - t0) * 1000),
+        mode="cow",
     )

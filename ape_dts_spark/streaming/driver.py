@@ -82,6 +82,10 @@ class EngineConfig:
     router: Router = field(default_factory=Router)
     salt: int = 16
     extract_text: bool = True
+    merge_mode: str = "mor"  # "mor" (O(batch) delta append) | "cow" (bucket rewrite)
+    # compact when delta bytes exceed this fraction of total table bytes;
+    # <= 0 disables auto-compaction (caller compacts explicitly)
+    compact_ratio: float = 0.5
     # test hook: callable(stage: str, batch_id: int) that may raise to
     # simulate a crash at a precise point ("post_merge", "post_checkpoint")
     crash_hook: object | None = None
@@ -108,6 +112,7 @@ class CdcEngine:
             "batches": 0,
         }
         self._ddls = self._load_ddls()
+        self.batch_log: list[dict] = []  # per-batch stage timings (profiling)
 
     # ------------------------------------------------------------- positions
 
@@ -219,6 +224,7 @@ class CdcEngine:
                 ),
             )
 
+        t_prep = time.monotonic() - t0
         if not already_applied:
             stats = merge_into(
                 self.spark,
@@ -230,6 +236,7 @@ class CdcEngine:
                     "job_id": cfg.job_id,
                 },
                 dedup_source=False,  # already deduped above
+                mode=cfg.merge_mode,
             )
             input_records = int(obs.get["records"] or 0)
             self.metrics["record_count"] += input_records
@@ -243,12 +250,37 @@ class CdcEngine:
 
         self._hook("post_merge", batch_id)
 
+        t_merge = time.monotonic() - t0 - t_prep
+
+        # fold delta files into base when they dominate (MOR maintenance;
+        # crash-safe: compaction is one atomic commit, a no-op to replay)
+        compacted = False
+        if cfg.merge_mode == "mor" and cfg.compact_ratio > 0:
+            ds = self.pages.delta_stats()
+            if ds["delta_fraction"] > cfg.compact_ratio:
+                self.pages.compact(self.spark)
+                compacted = True
+        t_compact = time.monotonic() - t0 - t_prep - t_merge
+
         if ddl is not None:
             self._apply_ddl(ddl)
             self.metrics["ddl_records"] += 1
 
         self._write_checkpoint(batch_id, hi)
         self.metrics["batches"] += 1
+        self.batch_log.append(
+            {
+                "batch_id": batch_id,
+                "lo": lo,
+                "hi": hi,
+                "prep_s": round(t_prep, 2),
+                "merge_s": round(t_merge, 2),
+                "compact_s": round(t_compact, 2),
+                "compacted": compacted,
+                "bookkeep_s": round(time.monotonic() - t0 - t_prep - t_merge - t_compact, 2),
+                "skipped_merge": already_applied,
+            }
+        )
         self._hook("post_checkpoint", batch_id)
 
     def _historical_names(self) -> dict[str, list[str]]:

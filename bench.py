@@ -1,0 +1,172 @@
+"""Benchmark harness — headline: CDC end-to-end replay throughput.
+
+Default mode (driver contract): run at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line:
+  {"metric": "cdc_replay_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "events_per_sec": ...}
+
+The CDC workload is the engine's real job: a deterministic synthetic
+web-page snapshot + LSN-ordered change stream (sized from the sf dir's
+events table: seed_urls = |events|, change_events = 2x|events|), replayed
+through CdcEngine (filter -> route -> vectorized extract -> salted LWW
+dedup -> bucket-pruned MERGE -> lineage + checkpoints) with 3 mid-stream
+DDL barriers — i.e. the same shape the north rule measures at 10^10 scale.
+
+--scaling: run the identical job at local[8] and local[32] on the same
+input and report throughput at both plus efficiency = (T8/T32)/4 — the
+sandbox stand-in for the N vs 4N executor criterion (see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ape_dts_spark.functions.extract_text import extract_text_udf  # noqa: E402
+from ape_dts_spark.lake.table import LakeTable  # noqa: E402
+from ape_dts_spark.session import get_spark  # noqa: E402
+from ape_dts_spark.sources.generator import (  # noqa: E402
+    PAGES_COLS,
+    gen_changes,
+    gen_ddl_events,
+    gen_pages_seed,
+)
+from ape_dts_spark.streaming.driver import CdcEngine, EngineConfig  # noqa: E402
+
+BENCH_QUERIES = [
+    "cdc_merge_apply",
+    "tpch_q1_pricing",
+    "tpch_q3_top_orders",
+    "ev_sessionize",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+]
+
+
+def _events_count(spark, sf_dir: str) -> int:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def prepare_input(spark, workdir: str, n_seed: int, n_events: int) -> dict:
+    """Generate the deterministic CDC input once (shared across runs)."""
+    changes_path = os.path.join(workdir, "changes")
+    ddl_path = os.path.join(workdir, "ddl")
+    if not os.path.exists(changes_path):
+        gen_changes(spark, n_events, n_seed, seed=42).write.parquet(changes_path)
+        gen_ddl_events(spark, n_events).write.parquet(ddl_path)
+    return {"changes": changes_path, "ddl": ddl_path}
+
+
+def run_cdc(spark, workdir: str, paths: dict, n_seed: int, tag: str, bucket_count: int = 64) -> dict:
+    pages_path = os.path.join(workdir, f"pages_{tag}")
+    for suffix in ("", "_checkpoints", "_lineage"):
+        shutil.rmtree(pages_path + suffix, ignore_errors=True)
+    t = LakeTable.create(pages_path, PAGES_COLS, bucket_key="url", bucket_count=bucket_count)
+    seed = gen_pages_seed(spark, n_seed, seed=42).withColumn(
+        "text", extract_text_udf(F.col("html"))
+    )
+    t.append(seed)
+    cfg = EngineConfig(
+        job_id=f"bench_{tag}",
+        pages_path=pages_path,
+        changes_path=paths["changes"],
+        ddl_path=paths["ddl"],
+        batch_lsn_width=max(n_seed // 2, 1000),
+    )
+    eng = CdcEngine(spark, cfg)
+    t0 = time.monotonic()
+    summary = eng.run()
+    wall = time.monotonic() - t0
+    final_rows = t.refresh().read(spark).count()
+    return {
+        "wall_sec": round(wall, 2),
+        "events": summary["events"],
+        "events_per_sec": round(summary["events"] / wall, 1),
+        "batches": summary["batches"],
+        "final_rows": final_rows,
+    }
+
+
+def run_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        n = qs[name](spark, sf_dir).count()
+        out[name] = round(time.monotonic() - t0, 3)
+        _ = n
+    return out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scaling = "--scaling" in sys.argv
+    workdir = os.environ.get("BENCH_WORKDIR") or tempfile.mkdtemp(prefix="apedts-bench-")
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    n_ev_table = _events_count(spark, sf_dir)
+    if scaling:
+        # scale up so per-batch compute dominates fixed job overhead — the
+        # efficiency criterion targets the asymptotic (cluster) regime
+        mult = int(os.environ.get("BENCH_SCALE_MULT", "10"))
+        n_seed, n_events = n_ev_table * mult // 2, n_ev_table * mult
+    else:
+        n_seed, n_events = n_ev_table, 2 * n_ev_table
+    paths = prepare_input(spark, workdir, n_seed, n_events)
+
+    if scaling:
+        spark.stop()
+        levels = [8, 32]
+        results = {}
+        for cores in levels:
+            s = get_spark(f"bench-{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+            results[cores] = run_cdc(s, workdir, paths, n_seed, tag=f"c{cores}")
+            s.stop()
+        lo, hi = levels
+        eff = (results[hi]["events_per_sec"] / results[lo]["events_per_sec"]) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sf": sf_dir,
+                    "levels": {str(c): results[c] for c in levels},
+                }
+            )
+        )
+        return
+
+    cdc = run_cdc(spark, workdir, paths, n_seed, tag=f"c{cpus}")
+    queries = run_queries(spark, sf_dir)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_sec",
+                "value": cdc["wall_sec"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_dir,
+                "events": cdc["events"],
+                "events_per_sec": cdc["events_per_sec"],
+                "batches": cdc["batches"],
+                "final_rows": cdc["final_rows"],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Clean scaling measurement: one subprocess per (cores, config) cell, with
+an in-session warmup batch before the measured run.  Used to produce
+BENCH/BASELINE.md numbers.
+
+Usage:
+  python scripts/scaling_probe.py prepare <workdir> <n_seed> <n_events>
+  python scripts/scaling_probe.py run <workdir> <cores> <extract:0|1>  # one cell
+  python scripts/scaling_probe.py all <workdir> <n_seed> <n_events>    # orchestrate
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def prepare(workdir, n_seed, n_events):
+    from ape_dts_spark.session import get_spark
+    from ape_dts_spark.sources.generator import gen_changes, gen_ddl_events
+
+    s = get_spark("gen", master="local[32]", shuffle_partitions=32)
+    if not os.path.exists(f"{workdir}/changes"):
+        gen_changes(s, n_events, n_seed, seed=42).write.parquet(f"{workdir}/changes")
+        gen_ddl_events(s, n_events).write.parquet(f"{workdir}/ddl")
+        with open(f"{workdir}/meta.json", "w") as f:
+            json.dump({"n_seed": n_seed, "n_events": n_events}, f)
+    s.stop()
+
+
+def run_cell(workdir, cores, extract):
+    from pyspark.sql import functions as F
+
+    from ape_dts_spark.functions.extract_text import extract_text_udf
+    from ape_dts_spark.lake.table import LakeTable
+    from ape_dts_spark.session import get_spark
+    from ape_dts_spark.sources.generator import PAGES_COLS, gen_pages_seed
+    from ape_dts_spark.streaming.driver import CdcEngine, EngineConfig
+
+    meta = json.load(open(f"{workdir}/meta.json"))
+    n_seed, n_events = meta["n_seed"], meta["n_events"]
+    s = get_spark(f"cell{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+
+    def one_run(tag, warmup_frac=None):
+        pp = f"{workdir}/pages_{tag}"
+        for sfx in ("", "_checkpoints", "_lineage"):
+            shutil.rmtree(pp + sfx, ignore_errors=True)
+        t = LakeTable.create(pp, PAGES_COLS, bucket_key="url", bucket_count=64)
+        seed = gen_pages_seed(s, n_seed, seed=42)
+        if extract:
+            seed = seed.withColumn("text", extract_text_udf(F.col("html")))
+        t.append(seed)
+        cfg = EngineConfig(
+            job_id=tag, pages_path=pp, changes_path=f"{workdir}/changes",
+            ddl_path=f"{workdir}/ddl", batch_lsn_width=n_events,
+            extract_text=bool(extract),
+        )
+        eng = CdcEngine(s, cfg)
+        t0 = time.monotonic()
+        summ = eng.run(max_batches=1 if warmup_frac else None)
+        wall = time.monotonic() - t0
+        return summ, wall, eng
+
+    one_run(f"w{cores}e{extract}", warmup_frac=0.1)  # warmup: first batch only
+    summ, wall, eng = one_run(f"m{cores}e{extract}")
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "extract": extract,
+                "wall_sec": round(wall, 2),
+                "events": summ["events"],
+                "events_per_sec": round(summ["events"] / wall, 1),
+                "batch_log": eng.batch_log,
+            }
+        )
+    )
+    s.stop()
+
+
+def orchestrate(workdir, n_seed, n_events):
+    os.makedirs(workdir, exist_ok=True)
+    subprocess.run(
+        [sys.executable, __file__, "prepare", workdir, str(n_seed), str(n_events)],
+        check=True, stderr=subprocess.DEVNULL,
+    )
+    results = {}
+    for extract in (0, 1):
+        for cores in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "run", workdir, str(cores), str(extract)],
+                check=True, capture_output=True, text=True,
+            ).stdout.strip().splitlines()[-1]
+            r = json.loads(out)
+            results[(extract, cores)] = r
+            print(f"extract={extract} cores={cores}: {r['events_per_sec']} ev/s "
+                  f"({r['wall_sec']}s)", flush=True)
+    for extract in (0, 1):
+        eff = (
+            results[(extract, 32)]["events_per_sec"]
+            / results[(extract, 8)]["events_per_sec"]
+        ) / 4
+        print(f"extract={extract}: efficiency 8->32 = {eff:.3f}", flush=True)
+    with open(f"{workdir}/results.json", "w") as f:
+        json.dump({f"e{e}_c{c}": v for (e, c), v in results.items()}, f, indent=1)
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1]
+    if cmd == "prepare":
+        prepare(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    elif cmd == "run":
+        run_cell(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    elif cmd == "all":
+        orchestrate(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
