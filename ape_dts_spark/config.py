@@ -1,0 +1,94 @@
+"""Task configuration — ini-format parity with the reference engine.
+
+The reference is driven by a `task_config.ini` with sections
+[extractor]/[filter]/[router]/[sinker]/[pipeline]/[parallelizer]
+(reference docs/en/config.md, dt-common/src/config/task_config.rs).  This
+module reads the same shape and produces an EngineConfig, so a reference
+user's mental model maps 1:1:
+
+    [extractor]                         ; where the change stream comes from
+    db_type=lake                        ; (reference: mysql|pg|... -> our lake)
+    extract_type=cdc                    ; snapshot | cdc
+    changes_path=/data/changes
+    ddl_path=/data/ddl
+    batch_lsn_width=100000              ; DtQueue cap / maxOffsetsPerTrigger analog
+
+    [filter]
+    do_events=insert,update,delete      ; rdb_filter do_events
+    do_origins=node1                    ; data-marker loop prevention
+    where_condition=lang = 'en'         ; pushed into the scan
+    ignore_cols=tx_id
+
+    [router]
+    col_map=lang:language               ; rdb_router col_map
+
+    [sinker]
+    sink_type=write                     ; write | check
+    pages_path=/data/pages
+    merge_mode=mor                      ; mor | cow
+    compact_ratio=0.5
+
+    [pipeline]
+    job_id=job1
+    checkpoints_path=/data/checkpoints
+    lineage_path=/data/lineage
+
+    [parallelizer]
+    parallel_type=rdb_merge             ; kept for parity; Spark plans the lanes
+    salt=16                             ; hot-key salting fan-out
+"""
+
+from __future__ import annotations
+
+import configparser
+
+from ape_dts_spark.operators.filters import ChangeFilter, Router
+from ape_dts_spark.streaming.driver import EngineConfig
+
+
+def _split(v: str | None) -> list[str]:
+    return [x.strip() for x in v.split(",") if x.strip()] if v else []
+
+
+def load_task_config(path_or_text: str, is_text: bool = False) -> EngineConfig:
+    cp = configparser.ConfigParser()
+    if is_text:
+        cp.read_string(path_or_text)
+    else:
+        cp.read(path_or_text)
+
+    ext = cp["extractor"] if cp.has_section("extractor") else {}
+    flt = cp["filter"] if cp.has_section("filter") else {}
+    rtr = cp["router"] if cp.has_section("router") else {}
+    snk = cp["sinker"] if cp.has_section("sinker") else {}
+    ppl = cp["pipeline"] if cp.has_section("pipeline") else {}
+    par = cp["parallelizer"] if cp.has_section("parallelizer") else {}
+
+    change_filter = ChangeFilter(
+        do_events=_split(flt.get("do_events")) or ["insert", "update", "delete"],
+        do_origins=_split(flt.get("do_origins")) or None,
+        start_time_utc=ext.get("start_time_utc") or None,
+        end_time_utc=ext.get("end_time_utc") or None,
+        where_condition=flt.get("where_condition") or None,
+        ignore_cols=_split(flt.get("ignore_cols")),
+    )
+    col_map = {}
+    for pair in _split(rtr.get("col_map")):
+        src, _, dst = pair.partition(":")
+        if src and dst:
+            col_map[src] = dst
+
+    return EngineConfig(
+        job_id=ppl.get("job_id", "task"),
+        pages_path=snk.get("pages_path", ""),
+        changes_path=ext.get("changes_path", ""),
+        ddl_path=ext.get("ddl_path") or None,
+        checkpoints_path=ppl.get("checkpoints_path") or None,
+        lineage_path=ppl.get("lineage_path") or None,
+        batch_lsn_width=int(ext.get("batch_lsn_width", "100000")),
+        filter=change_filter,
+        router=Router(col_map=col_map),
+        salt=int(par.get("salt", "16")),
+        merge_mode=snk.get("merge_mode", "mor"),
+        compact_ratio=float(snk.get("compact_ratio", "0.5")),
+    )

@@ -23,27 +23,25 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-# Order matters and is part of the contract — do not reorder.
-_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
-_SCRIPT_STYLE_RE = re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>")
-# Block-level tags become newlines so document structure survives tag-stripping.
+# Order matters and is part of the contract — do not reorder.  Passes are
+# fused where equivalent: the chain is memory-bandwidth-bound (each
+# .str.replace rewrites the whole batch), so fewer passes = proportional
+# speedup on the hot path.
+# pass 1: comments + script/style blocks vanish (one alternation scan)
+_DROP_RE = re.compile(r"(?is)<!--.*?-->|<(script|style)\b[^>]*>.*?</\1\s*>")
+# pass 2: block-level tags become newlines so structure survives stripping
 _BLOCK_RE = re.compile(
     r"(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|title|head|body|html|article|section)\b[^>]*/?>"
 )
+# pass 3: every remaining tag vanishes
 _TAG_RE = re.compile(r"(?s)<[^>]*>")
-# Entity set is closed (generator + tests only emit these); applied in a fixed
-# order with &amp; last so no double-unescaping can occur.
-_ENTITIES = [
-    ("&lt;", "<"),
-    ("&gt;", ">"),
-    ("&quot;", '"'),
-    ("&#39;", "'"),
-    ("&nbsp;", " "),
-    ("&amp;", "&"),
-]
+# pass 4: closed entity set, single scan (no rescanning => no double-unescape)
+_ENT_RE = re.compile(r"&(?:amp|lt|gt|quot|nbsp|#39);")
+_ENT_MAP = {"&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'", "&nbsp;": " ", "&amp;": "&"}
+# pass 5: horizontal whitespace runs -> single space
 _HSPACE_RE = re.compile(r"[ \t\r\f\v]+")
-_NL_TRIM_RE = re.compile(r" ?\n ?")
-_NL_COLLAPSE_RE = re.compile(r"\n{2,}")
+# pass 6: newline runs (with their surrounding single spaces) -> one newline
+_NL_RE = re.compile(r" ?(?:\n ?)+")
 
 
 def extract_text_series(html: pd.Series) -> pd.Series:
@@ -51,19 +49,14 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     s = html.map(
         lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else (b or ""),
         na_action=None,
-    )
-    s = s.fillna("").astype("string")
-    s = s.str.replace(_COMMENT_RE, "", regex=True)
-    s = s.str.replace(_SCRIPT_STYLE_RE, "", regex=True)
+    ).fillna("")
+    s = s.str.replace(_DROP_RE, "", regex=True)
     s = s.str.replace(_BLOCK_RE, "\n", regex=True)
     s = s.str.replace(_TAG_RE, "", regex=True)
-    for ent, ch in _ENTITIES:
-        s = s.str.replace(ent, ch, regex=False)
+    s = s.str.replace(_ENT_RE, lambda m: _ENT_MAP[m.group()], regex=True)
     s = s.str.replace(_HSPACE_RE, " ", regex=True)
-    s = s.str.replace(_NL_TRIM_RE, "\n", regex=True)
-    s = s.str.replace(_NL_COLLAPSE_RE, "\n", regex=True)
-    s = s.str.strip()
-    return s.astype(object).fillna("")
+    s = s.str.replace(_NL_RE, "\n", regex=True)
+    return s.str.strip().fillna("")
 
 
 def extract_text(html: bytes | str | None) -> str:

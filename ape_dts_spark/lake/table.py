@@ -216,12 +216,13 @@ class LakeTable:
     def _read_kind(
         self, spark: SparkSession, kind: str, buckets: list[int] | None
     ) -> DataFrame | None:
-        """Read all files of one kind mapped to the current schema (by column
-        id: rename-safe, null-padded adds, cast widens).  Grouped by
+        """Read all files of one logical kind mapped to the current schema (by
+        column id: rename-safe, null-padded adds, cast widens).  Grouped by
         schema_version so each group is one vectorized parquet scan.  Delta
-        files additionally carry the `_op` marker column."""
+        (and tombstone) files additionally carry the `_op` marker column."""
+        kinds = {"base"} if kind == "base" else {"delta", "tombstone"}
         cur = self.schema
-        files = [f for f in self.manifest.files if f.get("kind", "base") == kind]
+        files = [f for f in self.manifest.files if f.get("kind", "base") in kinds]
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
@@ -260,20 +261,29 @@ class LakeTable:
             df = df.unionByName(p)
         return df
 
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        keep_op_marker: bool = False,
+    ) -> DataFrame:
         """Read the current **resolved** snapshot, pruned to `buckets`.
 
         Merge-on-read: base files union delta files (upsert/delete markers
         from MOR merges), resolved to one surviving row per key by a LWW
         window over (order_col desc, delta-over-base).  Tables without
-        deltas skip the window entirely (plain scan)."""
+        deltas skip the window entirely (plain scan).
+
+        keep_op_marker=True retains the winning delete rows with their `_op`
+        column (compaction's tombstone-retention input)."""
         cur = self.schema
         base = self._read_kind(spark, "base", buckets)
         delta = self._read_kind(spark, "delta", buckets)
         if base is None and delta is None:
-            return spark.createDataFrame([], cur.to_struct())
+            out = spark.createDataFrame([], cur.to_struct())
+            return out.withColumn(OP_MARKER_COL, F.lit("upsert")) if keep_op_marker else out
         if delta is None:
-            return base
+            return base.withColumn(OP_MARKER_COL, F.lit("upsert")) if keep_op_marker else base
         order_col = self.manifest.properties.get("merge_order_col", "last_lsn")
         key = self.manifest.bucket_key
         if base is None:
@@ -282,12 +292,14 @@ class LakeTable:
         d = delta.withColumn("_src", F.lit(1))
         u = b.unionByName(d)
         w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), F.col("_src").desc())
-        return (
+        resolved = (
             u.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .filter(F.col(OP_MARKER_COL) != "delete")
-            .drop("_rn", "_src", OP_MARKER_COL)
+            .drop("_rn", "_src")
         )
+        if keep_op_marker:
+            return resolved
+        return resolved.filter(F.col(OP_MARKER_COL) != "delete").drop(OP_MARKER_COL)
 
     def input_files(self, buckets: list[int] | None = None) -> list[dict]:
         if buckets is None:
@@ -424,12 +436,14 @@ class LakeTable:
         return m.version, sorted({e["bucket"] for e in entries})
 
     def delta_stats(self) -> dict:
-        """Per-kind byte totals + per-bucket delta fraction (compaction input)."""
+        """Per-kind byte totals + per-bucket delta fraction (compaction input).
+        Tombstone files are excluded from delta_fraction so retained delete
+        markers never re-trigger compaction by themselves."""
         base_b = sum(f.get("bytes") or 0 for f in self.manifest.files if f.get("kind", "base") == "base")
         delta_b = sum(f.get("bytes") or 0 for f in self.manifest.files if f.get("kind") == "delta")
         per_bucket: dict[int, dict] = {}
         for f in self.manifest.files:
-            d = per_bucket.setdefault(f["bucket"], {"base": 0, "delta": 0})
+            d = per_bucket.setdefault(f["bucket"], {"base": 0, "delta": 0, "tombstone": 0})
             d[f.get("kind", "base")] += f.get("bytes") or 0
         return {
             "base_bytes": base_b,
@@ -443,19 +457,46 @@ class LakeTable:
         spark: SparkSession,
         buckets: list[int] | None = None,
         properties: dict[str, str] | None = None,
+        keep_tombstones: bool = True,
     ) -> int:
         """Fold delta files into base files (resolved LWW rows), per bucket.
 
         Targeted: pass `buckets` to compact only the hot ones; default
-        compacts every bucket that has deltas.  Atomic single commit."""
+        compacts every bucket that has deltas.  Atomic single commit.
+
+        keep_tombstones: winning delete markers are rewritten into a compact
+        delta file instead of being dropped, so an out-of-order upsert with a
+        lower order value (possible with unordered streaming sources) can
+        never resurrect a deleted key.  Bounded: one tombstone per deleted
+        key.  Pass False only when the feed is strictly LSN-sliced (the
+        batch driver's hwm guard already makes late replays no-ops)."""
         if buckets is None:
             buckets = sorted(
                 {f["bucket"] for f in self.manifest.files if f.get("kind") == "delta"}
             )
         if not buckets:
             return self.version
-        resolved = self.read(spark, buckets=buckets).withColumn(BUCKET_COL, self.bucket_expr())
-        return self.overwrite_buckets(resolved, buckets, properties=properties)
+        resolved = self.read(spark, buckets=buckets, keep_op_marker=True).withColumn(
+            BUCKET_COL, self.bucket_expr()
+        )
+        cur = self.schema
+        cols = [F.col(f["name"]).cast(spark_type(f["type"])).alias(f["name"]) for f in cur.fields]
+        live = resolved.filter(F.col(OP_MARKER_COL) != "delete").select(
+            *cols, F.col(BUCKET_COL)
+        )
+        entries = self._stage_write(live, with_bucket_col=True, kind="base")
+        if keep_tombstones:
+            tombs = resolved.filter(F.col(OP_MARKER_COL) == "delete").select(
+                *cols, F.col(OP_MARKER_COL), F.col(BUCKET_COL)
+            )
+            entries += self._stage_write(tombs, with_bucket_col=True, kind="tombstone")
+        bset = set(buckets)
+        kept = [f for f in self.manifest.files if f["bucket"] not in bset]
+        props = dict(self.manifest.properties)
+        props.update(properties or {})
+        m = self._next_manifest(files=kept + entries, properties=props)
+        self._publish(m)
+        return m.version
 
     def overwrite_buckets(
         self,

@@ -65,7 +65,9 @@ def check(
     return j.select(
         *[F.col(f"_k_{k}").alias(k) for k in key_cols],
         result.alias("check_result"),
-        mism.alias("diff_cols"),
+        F.when(
+            F.col("_in_s").isNotNull() & F.col("_in_t").isNotNull(), mism
+        ).otherwise(F.array().cast("array<string>")).alias("diff_cols"),
     )
 
 

@@ -89,8 +89,27 @@ def _lang(url_id, seed: int):
 
 def _html(hcol):
     """Deterministic template HTML with comment/script/style/entity traps so
-    text extraction is non-trivial (title + h1 + 2 paragraphs survive)."""
+    text extraction is non-trivial.  Sized per FIXTURES.md (≈0.5–16 KB): a
+    40-word seed sentence is rotated into 3–12 paragraphs (a ~5% long tail
+    gets 4x paragraphs), all pure JVM expressions."""
     w = [_word(hcol, 7**i) for i in range(8)]
+    sent = F.concat_ws(" ", *[_word(hcol, 5**(i % 13) + 11 * i) for i in range(40)])
+    sent_len = F.length(sent)
+    n_paras = (
+        F.lit(3)
+        + F.pmod(hcol, F.lit(10))
+        + F.when(F.pmod(hcol, F.lit(19)) == 0, F.lit(30)).otherwise(F.lit(0))
+    ).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(1), n_paras),
+        lambda i: F.concat(
+            F.lit("<p>"),
+            sent.substr((F.pmod(i * 37, sent_len) + 1).cast("int"), sent_len),
+            F.lit(" "),
+            sent.substr(F.lit(1), (F.pmod(i * 37, sent_len) + 1).cast("int")),
+            F.lit("</p>"),
+        ),
+    )
     return F.encode(
         F.format_string(
             "<html><!-- id:%s --><head><title>%s %s</title>"
@@ -98,10 +117,13 @@ def _html(hcol):
             '<body><script type="text/javascript">var q="%s";</script>'
             "<h1>%s &amp; %s</h1>"
             "<p>%s %s %s &nbsp;%s</p>"
+            "%s"
             "<div><p>%s %s <b>%s</b> %s</p></div>"
             "</body></html>",
             F.abs(hcol).cast("string"),
-            w[0], w[1], w[2], w[0], w[3], w[4], w[5], w[6], w[7], w[1], w[2], w[3], w[4],
+            w[0], w[1], w[2], w[0], w[3], w[4], w[5], w[6], w[7],
+            F.array_join(paras, ""),
+            w[1], w[2], w[3], w[4],
         ),
         "UTF-8",
     )

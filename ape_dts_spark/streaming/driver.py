@@ -91,6 +91,56 @@ class EngineConfig:
     crash_hook: object | None = None
 
 
+def historical_names(pages: LakeTable) -> dict[str, list[str]]:
+    """current column name -> older names of the same field id (a rename DDL
+    means the change stream may still carry the old name)."""
+    m = pages.manifest
+    cur = {f["id"]: f["name"] for f in pages.schema.fields}
+    hist: dict[str, list[str]] = {}
+    for sv in sorted(m.schemas, key=int, reverse=True):
+        for f in m.schemas[sv]["fields"]:
+            curname = cur.get(f["id"])
+            if curname and f["name"] != curname:
+                hist.setdefault(curname, []).append(f["name"])
+    return hist
+
+
+def prepare_changes(pages: LakeTable, df: DataFrame, cfg: "EngineConfig") -> DataFrame:
+    """The shared per-batch transform chain (batch driver + streaming path):
+    filter -> route -> key-change split -> NULL-key quarantine -> schema
+    projection (rename-aware) -> salted LWW dedup -> vectorized extraction."""
+    df = cfg.filter.apply(df)
+    df = cfg.router.route_cols(df)
+    df = split_key_change_updates(df, key_col=cfg.key_col)
+    df, _quarantined = quarantine_null_keys(df, [cfg.key_col])
+
+    schema = pages.schema
+    hist = historical_names(pages)
+    src_cols = set(df.columns)
+    payload = []
+    for f in schema.fields:
+        name = f["name"]
+        if name in ("text", "last_lsn"):
+            continue
+        cand = next((c for c in [name] + hist.get(name, []) if c in src_cols), None)
+        if cand is None:
+            continue  # merge_into null-pads missing payload columns
+        payload.append(F.col(cand).alias(name))
+    projected = df.select(*payload, F.col("op"), F.col("lsn"))
+
+    # LWW compaction BEFORE the expensive text extraction: a url hit by a
+    # burst of B events is extracted once, not B times (salted two-phase)
+    deduped = lww_dedup(projected, [cfg.key_col], "lsn", two_phase=True, salt=cfg.salt)
+    if cfg.extract_text and "html" in projected.columns:
+        deduped = deduped.withColumn(
+            "text",
+            F.when(F.col("op") != "delete", extract_text_udf(F.col("html"))).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+    return deduped
+
+
 class CdcEngine:
     def __init__(self, spark: SparkSession, cfg: EngineConfig):
         self.spark = spark
@@ -184,45 +234,13 @@ class CdcEngine:
 
         already_applied = int(self.pages.manifest.properties.get("hwm_lsn", "0")) >= hi
         slice_df = self._changes().filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-        slice_df = cfg.filter.apply(slice_df)
-        slice_df = cfg.router.route_cols(slice_df)
-        slice_df = split_key_change_updates(slice_df, key_col=cfg.key_col)
-        slice_df, _quarantined = quarantine_null_keys(slice_df, [cfg.key_col])
-
         obs = Observation()
         slice_df = slice_df.observe(
             obs,
             F.count(F.lit(1)).alias("records"),
             F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("bytes"),
         )
-
-        # project to the current target schema: for each payload column take the
-        # first matching change-stream column among its current + historical
-        # names (schema evolution renames; Router may add more)
-        schema = self.pages.schema
-        hist_names = self._historical_names()
-        payload = []
-        src_cols = set(slice_df.columns)
-        for f in schema.fields:
-            name = f["name"]
-            if name in ("text", "last_lsn"):
-                continue
-            cand = next((c for c in [name] + hist_names.get(name, []) if c in src_cols), None)
-            if cand is None:
-                continue  # merge_into null-pads missing payload columns
-            payload.append(F.col(cand).alias(name))
-        projected = slice_df.select(*payload, F.col("op"), F.col("lsn"))
-
-        # LWW compaction BEFORE the expensive text extraction: a url hit by a
-        # burst of B events is extracted once, not B times (salted two-phase)
-        deduped = lww_dedup(projected, [cfg.key_col], "lsn", two_phase=True, salt=cfg.salt)
-        if cfg.extract_text and "html" in projected.columns:
-            deduped = deduped.withColumn(
-                "text",
-                F.when(F.col("op") != "delete", extract_text_udf(F.col("html"))).otherwise(
-                    F.lit(None).cast("string")
-                ),
-            )
+        deduped = prepare_changes(self.pages, slice_df, cfg)
 
         t_prep = time.monotonic() - t0
         if not already_applied:
@@ -282,19 +300,6 @@ class CdcEngine:
             }
         )
         self._hook("post_checkpoint", batch_id)
-
-    def _historical_names(self) -> dict[str, list[str]]:
-        """current column name -> older names of the same field id (rename DDL
-        means the change stream may still carry the old name)."""
-        m = self.pages.manifest
-        cur = {f["id"]: f["name"] for f in self.pages.schema.fields}
-        hist: dict[str, list[str]] = {}
-        for sv in sorted(m.schemas, key=int, reverse=True):
-            for f in m.schemas[sv]["fields"]:
-                curname = cur.get(f["id"])
-                if curname and f["name"] != curname:
-                    hist.setdefault(curname, []).append(f["name"])
-        return hist
 
     def _apply_ddl(self, ddl: dict) -> None:
         """Apply a schema-evolution event; idempotent so crash replay is safe

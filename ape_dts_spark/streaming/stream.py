@@ -1,0 +1,76 @@
+"""Structured Streaming tail — the continuous-ingest flavor of the engine.
+
+The batch driver (driver.py) replays a bounded LSN range; this module tails
+the change-stream directory with Spark Structured Streaming (file source)
+and applies each micro-batch through the SAME transform + MERGE chain via
+``foreachBatch`` — the canonical Spark pattern for CDC-to-lake sinks.
+
+Exactly-once: the streaming checkpoint tracks which source files were
+consumed; the sink side is idempotent anyway (MERGE keyed on (url, lsn)),
+so replays after a crash converge — the same two-layer guarantee as the
+batch driver (and as the reference's ack-after-commit protocol,
+pg_cdc_extractor.rs:230-262).
+
+Constraints of the streaming flavor (v1): no mid-stream DDL barriers (run
+the batch driver for schema-evolving replays); event-time ordering inside a
+micro-batch is handled by the LWW dedup, and cross-batch ordering by
+last_lsn — late files only ever lose the LWW race, never corrupt.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from ape_dts_spark.lake.table import LakeTable
+from ape_dts_spark.operators.merge import merge_into
+from ape_dts_spark.streaming.driver import EngineConfig, prepare_changes
+
+
+def start_stream(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Start the streaming tail; returns the StreamingQuery.
+
+    available_now=True drains everything currently in the directory then
+    stops (catch-up mode); False keeps tailing until query.stop().
+    """
+    if cfg.ddl_path:
+        raise ValueError("streaming mode does not support DDL barriers; use CdcEngine")
+    pages = LakeTable.load(cfg.pages_path)
+    schema = spark.read.parquet(cfg.changes_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(cfg.changes_path)
+
+    def sink_batch(batch_df, batch_id: int):
+        deduped = prepare_changes(pages.refresh(), batch_df, cfg)
+        merge_into(
+            spark,
+            pages,
+            deduped,
+            properties={"stream_batch_id": str(batch_id), "job_id": cfg.job_id},
+            dedup_source=False,
+            mode=cfg.merge_mode,
+        )
+        if cfg.merge_mode == "mor" and cfg.compact_ratio > 0:
+            if pages.delta_stats()["delta_fraction"] > cfg.compact_ratio:
+                pages.compact(spark)
+
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        cfg.pages_path.rstrip("/") + "_streamckpt"
+    )
+    writer = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

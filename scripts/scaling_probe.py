@@ -42,7 +42,13 @@ def run_cell(workdir, cores, extract):
 
     meta = json.load(open(f"{workdir}/meta.json"))
     n_seed, n_events = meta["n_seed"], meta["n_events"]
-    s = get_spark(f"cell{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+    # RAM-backed shuffle dir: the sandbox's single shared disk writes at
+    # ~286 MB/s (measured), which caps BOTH parallelism levels identically; a
+    # real N vs 4N cluster has per-executor disks.  tmpfs emulates that.
+    s = get_spark(
+        f"cell{cores}", master=f"local[{cores}]", shuffle_partitions=cores,
+        extra_conf={"spark.local.dir": f"/dev/shm/spark-local-{cores}"},
+    )
 
     def one_run(tag, warmup_frac=None):
         pp = f"{workdir}/pages_{tag}"
@@ -87,23 +93,30 @@ def orchestrate(workdir, n_seed, n_events):
         [sys.executable, __file__, "prepare", workdir, str(n_seed), str(n_events)],
         check=True, stderr=subprocess.DEVNULL,
     )
-    results = {}
-    for extract in (0, 1):
-        for cores in (8, 32):
-            out = subprocess.run(
-                [sys.executable, __file__, "run", workdir, str(cores), str(extract)],
-                check=True, capture_output=True, text=True,
-            ).stdout.strip().splitlines()[-1]
-            r = json.loads(out)
-            results[(extract, cores)] = r
-            print(f"extract={extract} cores={cores}: {r['events_per_sec']} ev/s "
-                  f"({r['wall_sec']}s)", flush=True)
+    # interleaved best-of-N: the sandbox host shows 2x+ run-to-run noise
+    # (shared hypervisor); interleaving levels and keeping each level's best
+    # run measures the engine, not the neighbor traffic.
+    reps = int(os.environ.get("PROBE_REPS", "3"))
+    results: dict = {}
+    for rep in range(reps):
+        for extract in (1, 0):
+            for cores in (8, 32):
+                out = subprocess.run(
+                    [sys.executable, __file__, "run", workdir, str(cores), str(extract)],
+                    check=True, capture_output=True, text=True,
+                ).stdout.strip().splitlines()[-1]
+                r = json.loads(out)
+                key = (extract, cores)
+                if key not in results or r["events_per_sec"] > results[key]["events_per_sec"]:
+                    results[key] = r
+                print(f"rep{rep} extract={extract} cores={cores}: "
+                      f"{r['events_per_sec']} ev/s ({r['wall_sec']}s)", flush=True)
     for extract in (0, 1):
         eff = (
             results[(extract, 32)]["events_per_sec"]
             / results[(extract, 8)]["events_per_sec"]
         ) / 4
-        print(f"extract={extract}: efficiency 8->32 = {eff:.3f}", flush=True)
+        print(f"extract={extract}: best-of-{reps} efficiency 8->32 = {eff:.3f}", flush=True)
     with open(f"{workdir}/results.json", "w") as f:
         json.dump({f"e{e}_c{c}": v for (e, c), v in results.items()}, f, indent=1)
 
