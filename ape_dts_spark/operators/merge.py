@@ -108,8 +108,14 @@ def merge_into(
             F.sum(F.when(F.col(OP_MARKER_COL) == "delete", 1).otherwise(0)).alias("deletes"),
         )
         new_version, affected = table.append_delta(delta, properties=properties)
-        got = obs.get
-        n_rows, n_del = int(got["rows"] or 0), int(got["deletes"] or 0)
+        try:
+            got = obs.get
+            n_rows, n_del = int(got["rows"] or 0), int(got["deletes"] or 0)
+        except Exception:
+            # Observation is unsupported on some plan shapes (e.g. the batch
+            # DataFrames foreachBatch hands out in streaming mode) — counts
+            # are informational, never correctness-bearing
+            n_rows, n_del = -1, 0
         return MergeStats(
             affected_buckets=affected,
             source_rows=n_rows,
