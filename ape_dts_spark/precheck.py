@@ -1,0 +1,87 @@
+"""Precheck — fail-fast validation before a task runs.
+
+The reference runs connectivity/permission/struct prechecks before starting
+any task (dt-precheck/src/prechecker/*).  Our analog validates the lake-side
+invariants a CDC run depends on:
+
+* the target pages table exists and has the merge key + last_lsn columns;
+* the change stream exists, has the required columns, and its LSNs are
+  unique (the total-order assumption every LWW decision rests on);
+* the checkpoint high-watermark is not AHEAD of the available stream (a
+  truncated/rotated source — the reference's binlog-expired failure mode);
+* DDL events, if present, are well-formed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ape_dts_spark.lake.table import LakeTable
+from ape_dts_spark.streaming.driver import EngineConfig
+
+REQUIRED_CHANGE_COLS = {"lsn", "op", "url"}
+VALID_OPS = {"insert", "update", "delete"}
+
+
+class PrecheckError(RuntimeError):
+    pass
+
+
+def precheck(spark: SparkSession, cfg: EngineConfig, deep: bool = False) -> dict:
+    """Raises PrecheckError on the first fatal problem; returns a report."""
+    report: dict = {}
+
+    if not LakeTable.exists(cfg.pages_path):
+        raise PrecheckError(f"pages table missing at {cfg.pages_path}")
+    pages = LakeTable.load(cfg.pages_path)
+    names = pages.schema.names()
+    for col in (cfg.key_col, "last_lsn"):
+        if col not in names:
+            raise PrecheckError(f"pages table lacks required column {col}")
+    report["pages_version"] = pages.version
+
+    try:
+        changes = spark.read.parquet(cfg.changes_path)
+    except Exception as e:
+        raise PrecheckError(f"change stream unreadable at {cfg.changes_path}: {e}") from e
+    missing = REQUIRED_CHANGE_COLS - set(changes.columns)
+    if missing:
+        raise PrecheckError(f"change stream lacks columns {sorted(missing)}")
+
+    agg = changes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("lsn").alias("n_lsn"),
+        F.min("lsn").alias("lsn_min"),
+        F.max("lsn").alias("lsn_max"),
+    ).collect()[0]
+    report.update({k: agg[k] for k in ("n", "n_lsn", "lsn_min", "lsn_max")})
+    if agg["n"] != agg["n_lsn"]:
+        raise PrecheckError(f"duplicate LSNs: {agg['n']} rows, {agg['n_lsn']} distinct")
+
+    if deep:
+        bad_ops = changes.filter(~F.col("op").isin(list(VALID_OPS))).limit(1).collect()
+        if bad_ops:
+            raise PrecheckError(f"invalid op value: {bad_ops[0]['op']!r}")
+
+    # resume-position sanity: checkpoint must not be ahead of the stream end
+    cp_path = cfg.checkpoints_path or cfg.pages_path.rstrip("/") + "_checkpoints"
+    if LakeTable.exists(cp_path):
+        cp = LakeTable.load(cp_path).read(spark)
+        row = cp.filter(F.col("job_id") == cfg.job_id).agg(F.max("hwm_lsn").alias("h")).collect()[0]
+        hwm = row["h"] or 0
+        report["resume_hwm"] = hwm
+        if agg["lsn_max"] is not None and hwm > agg["lsn_max"]:
+            raise PrecheckError(
+                f"checkpoint hwm {hwm} is ahead of stream end {agg['lsn_max']} "
+                "(source truncated/rotated?)"
+            )
+
+    if cfg.ddl_path:
+        ddl = spark.read.parquet(cfg.ddl_path)
+        for c in ("lsn", "ddl_type", "payload"):
+            if c not in ddl.columns:
+                raise PrecheckError(f"ddl stream lacks column {c}")
+        report["n_ddl"] = ddl.count()
+
+    return report

@@ -90,6 +90,7 @@ def run_cdc(spark, workdir: str, paths: dict, n_seed: int, tag: str, bucket_coun
         "wall_sec": round(wall, 2),
         "events": summary["events"],
         "events_per_sec": round(summary["events"] / wall, 1),
+        "mb_per_sec": round(summary["metrics"]["data_bytes"] / wall / 1e6, 1),
         "batches": summary["batches"],
         "final_rows": final_rows,
     }
@@ -160,6 +161,7 @@ def main():
                 "sf": sf_dir,
                 "events": cdc["events"],
                 "events_per_sec": cdc["events_per_sec"],
+                "mb_per_sec": cdc["mb_per_sec"],
                 "batches": cdc["batches"],
                 "final_rows": cdc["final_rows"],
             }

@@ -1,0 +1,66 @@
+"""Plan-shape assertions (pushdown/pruning/codegen) + precheck validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ape_dts_spark.lake.table import LakeTable
+from ape_dts_spark.plans.inspect import pushed_filters, scan_columns, wholestage_spans
+from ape_dts_spark.precheck import PrecheckError, precheck
+from ape_dts_spark.sources.generator import PAGES_COLS, gen_changes
+from ape_dts_spark.streaming.driver import EngineConfig
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lsn_slice_predicate_is_pushed_to_scan(spark, tmp_path):
+    gen_changes(spark, 1000, 100, seed=1).write.parquet(str(tmp_path / "ch"))
+    df = spark.read.parquet(str(tmp_path / "ch")).filter(
+        (F.col("lsn") > 100) & (F.col("lsn") <= 200)
+    )
+    pf = " ".join(pushed_filters(df))
+    assert "GreaterThan(lsn,100)" in pf and "LessThanOrEqual(lsn,200)" in pf
+
+
+def test_column_pruning_drops_html(spark, tmp_path):
+    gen_changes(spark, 1000, 100, seed=1).write.parquet(str(tmp_path / "ch"))
+    df = spark.read.parquet(str(tmp_path / "ch")).groupBy("op").count()
+    cols = scan_columns(df)
+    assert cols and all("html" not in c for c in cols)  # 1-16KB column never read
+    assert wholestage_spans(df) >= 1
+
+
+def test_where_condition_pushdown_via_filter_config(spark, tmp_path):
+    from ape_dts_spark.operators.filters import ChangeFilter
+
+    gen_changes(spark, 1000, 100, seed=1).write.parquet(str(tmp_path / "ch"))
+    df = ChangeFilter(where_condition="lang = 'en'").apply(
+        spark.read.parquet(str(tmp_path / "ch"))
+    )
+    assert any("lang" in f for f in pushed_filters(df))
+
+
+def _mk_cfg(tmp_path, spark, with_pages=True, n_events=500):
+    ch = str(tmp_path / "changes")
+    gen_changes(spark, n_events, 100, seed=1).write.parquet(ch)
+    pp = str(tmp_path / "pages")
+    if with_pages:
+        LakeTable.create(pp, PAGES_COLS, bucket_key="url", bucket_count=4)
+    return EngineConfig(job_id="pc", pages_path=pp, changes_path=ch)
+
+
+def test_precheck_ok_and_failures(spark, tmp_path):
+    cfg = _mk_cfg(tmp_path, spark)
+    rep = precheck(spark, cfg, deep=True)
+    assert rep["n"] == 500 and rep["n_lsn"] == 500
+
+    cfg2 = _mk_cfg(tmp_path / "x", spark, with_pages=False)
+    with pytest.raises(PrecheckError, match="pages table missing"):
+        precheck(spark, cfg2)
+
+    # duplicate LSNs are fatal (the total-order assumption)
+    dup = str(tmp_path / "dup")
+    gen_changes(spark, 100, 50, seed=1).withColumn("lsn", F.lit(7)).write.parquet(dup)
+    cfg3 = _mk_cfg(tmp_path / "y", spark)
+    cfg3 = EngineConfig(job_id="pc", pages_path=cfg3.pages_path, changes_path=dup)
+    with pytest.raises(PrecheckError, match="duplicate LSNs"):
+        precheck(spark, cfg3)
