@@ -437,6 +437,21 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact, id-blocked); duplicated
+    vec_id<8 copies guarantee positives at every sf."""
+    from ape_dts_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = embedding_near_dup_pairs(
+        emb.unionByName(dups), threshold=0.95, block_mod=8
+    )
+    return out.select("a", "b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def q_media_metadata(spark, sf_dir):
     """Multimodal binary-column plumbing via Arrow mapInPandas (decode STUB:
     deterministic digest-derived metadata; see operators/multimodal.py)."""
@@ -493,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_metadata": q_media_metadata,
     }
 
@@ -840,6 +856,21 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "dedup_embedding_cosine": """
+            WITH allv AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id < 8
+            ), base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM allv
+            )
+            SELECT l.vec_id AS a, r.vec_id AS b,
+                   round(list_cosine_similarity(l.v, r.v), 4) AS cos_sim
+            FROM base l JOIN base r
+              ON l.vec_id < r.vec_id AND l.vec_id % 8 = r.vec_id % 8
+            WHERE list_cosine_similarity(l.v, r.v) >= 0.95
         """,
         "media_metadata": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -309,10 +309,20 @@ class LakeTable:
 
     # ---------------------------------------------------------------- write
 
-    def _stage_write(self, df: DataFrame, with_bucket_col: bool, kind: str = "base") -> list[dict]:
-        """Write df to a staging dir and move data files under data/; returns file entries."""
+    def _stage_write(
+        self,
+        df: DataFrame,
+        with_bucket_col: bool,
+        kind: str = "base",
+        pre_clustered: bool = False,
+    ) -> list[dict]:
+        """Write df to a staging dir and move data files under data/; returns file entries.
+
+        pre_clustered=True promises the caller already hash-partitioned df by
+        BUCKET_COL (e.g. the bucket-aligned dedup window), so the write needs
+        no exchange — each bucket is whole within one task."""
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
-        if with_bucket_col:
+        if with_bucket_col and not pre_clustered:
             # cluster by bucket so each bucket is written by one task -> one
             # file (otherwise every input partition emits a file per bucket:
             # O(partitions x buckets) tiny files).  At real scale raise
@@ -415,8 +425,51 @@ class LakeTable:
         self._publish(m)
         return m.version
 
+    def append_rows(self, rows: list[tuple], properties: dict[str, str] | None = None) -> int:
+        """Driver-side append of a handful of bookkeeping rows (checkpoint /
+        lineage) via pyarrow — no Spark job, no shuffle, ~ms instead of a
+        full job per micro-batch.  Values must be in schema field order."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _PA = {
+            "string": pa.string(),
+            "long": pa.int64(),
+            "int": pa.int32(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+            "binary": pa.binary(),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+        }
+        fields = self.schema.fields
+        arrays, names = [], []
+        for i, f in enumerate(fields):
+            names.append(f["name"])
+            arrays.append(pa.array([r[i] for r in rows], type=_PA[f["type"]]))
+        tbl = pa.Table.from_arrays(arrays, names=names)
+        nv = self.manifest.version + 1
+        rel = f"data/v{nv}-a0-0-{uuid.uuid4().hex[:8]}.parquet"
+        dst = os.path.join(self.path, rel)
+        pq.write_table(tbl, dst, compression="snappy")
+        entry = {
+            "path": rel,
+            "bucket": 0,
+            "schema_version": self.manifest.current_schema,
+            "rows": len(rows),
+            "kind": "base",
+            "bytes": os.path.getsize(dst),
+        }
+        props = dict(self.manifest.properties)
+        props.update(properties or {})
+        m = self._next_manifest(files=self.manifest.files + [entry], properties=props)
+        self._publish(m)
+        return m.version
+
     def append_delta(
-        self, df: DataFrame, properties: dict[str, str] | None = None
+        self,
+        df: DataFrame,
+        properties: dict[str, str] | None = None,
+        pre_clustered: bool = False,
     ) -> tuple[int, list[int]]:
         """Merge-on-read fast path: append bucket-partitioned delta files
         carrying upsert/delete markers (`_op`), touching NO existing files.
@@ -427,8 +480,13 @@ class LakeTable:
         derived from the written files, no extra Spark job)."""
         cur = self.schema
         cols = [F.col(f["name"]).cast(spark_type(f["type"])).alias(f["name"]) for f in cur.fields]
-        out = df.select(*cols, F.col(OP_MARKER_COL)).withColumn(BUCKET_COL, self.bucket_expr())
-        entries = self._stage_write(out, with_bucket_col=True, kind="delta")
+        extra = [F.col(OP_MARKER_COL)] + ([F.col(BUCKET_COL)] if BUCKET_COL in df.columns else [])
+        out = df.select(*cols, *extra)
+        if BUCKET_COL not in df.columns:
+            out = out.withColumn(BUCKET_COL, self.bucket_expr())
+        entries = self._stage_write(
+            out, with_bucket_col=True, kind="delta", pre_clustered=pre_clustered
+        )
         props = dict(self.manifest.properties)
         props.update(properties or {})
         m = self._next_manifest(files=self.manifest.files + entries, properties=props)

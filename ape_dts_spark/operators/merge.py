@@ -81,6 +81,7 @@ def merge_into(
     properties: dict[str, str] | None = None,
     dedup_source: bool = True,
     mode: str = "mor",
+    pre_clustered: bool = False,
 ) -> MergeStats:
     """Apply a keyed change batch (op in insert|update|delete, lsn-ordered).
 
@@ -95,11 +96,13 @@ def merge_into(
     src = lww_dedup(changes, [key], LSN_COL) if dedup_source else changes
 
     if mode == "mor":
+        carry = [F.col(BUCKET_COL)] if BUCKET_COL in src.columns else []
         delta = src.select(
             *_source_payload(table, src, include_last_lsn=True),
             F.when(F.col(OP_COL) == "delete", F.lit("delete"))
             .otherwise(F.lit("upsert"))
             .alias(OP_MARKER_COL),
+            *carry,
         )
         obs = Observation()
         delta = delta.observe(
@@ -107,7 +110,9 @@ def merge_into(
             F.count(F.lit(1)).alias("rows"),
             F.sum(F.when(F.col(OP_MARKER_COL) == "delete", 1).otherwise(0)).alias("deletes"),
         )
-        new_version, affected = table.append_delta(delta, properties=properties)
+        new_version, affected = table.append_delta(
+            delta, properties=properties, pre_clustered=pre_clustered
+        )
         try:
             got = obs.get
             n_rows, n_del = int(got["rows"] or 0), int(got["deletes"] or 0)

@@ -64,6 +64,43 @@ def brute_force_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_mod: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos_sim) with
+    cos_sim >= threshold and a < b.
+
+    Exact all-pairs is O(n^2) — correct at test scale and the verification
+    oracle for the LSH path.  At 10^10 scale set block_mod to a coarse
+    id-blocking (or use lsh_topk buckets) so the self-join only scores
+    within blocks.  Scoring is JVM-side (aggregate/zip_with), norms are
+    precomputed once per side instead of per pair.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+    )
+    left = base.select(
+        F.col(id_col).alias("a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    right = base.select(
+        F.col(id_col).alias("b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    cond = F.col("a") < F.col("b")
+    if block_mod:
+        cond = cond & (
+            F.pmod(F.col("a"), F.lit(block_mod)) == F.pmod(F.col("b"), F.lit(block_mod))
+        )
+    pairs = left.join(right, cond)
+    sim = (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cos_sim")
+    return pairs.select("a", "b", sim).filter(F.col("cos_sim") >= threshold)
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (hash-derived, no RNG
     state): plane[p][d] in {-1..1} from a integer mix of (seed, p, d)."""

@@ -73,6 +73,14 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
     return scans
 
 
+def exchange_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators in the physical plan —
+    the engine's shuffles-per-batch budget check."""
+    txt = explain_str(df, "simple")
+    final = txt.split("== Initial Plan ==")[0]
+    return len(re.findall(r"\bExchange\b", final))
+
+
 def wholestage_spans(df: DataFrame, execute: bool = True) -> int:
     """Number of WholeStageCodegen spans in the physical plan.
 

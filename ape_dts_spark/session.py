@@ -32,7 +32,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # 32 concurrent tasks over html-heavy rows need real heap headroom —
+        # an 8g heap GC-thrashes at local[32] and inverts core scaling
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # smaller splits -> scan parallelism survives small per-batch slices
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

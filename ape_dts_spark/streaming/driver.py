@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import time
 from dataclasses import dataclass, field
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +41,7 @@ from ape_dts_spark.functions.extract_text import extract_text_udf
 from ape_dts_spark.lake.table import BUCKET_COL, LakeTable
 from ape_dts_spark.operators.dedup import (
     lww_dedup,
+    lww_dedup_bucket_aligned,
     quarantine_null_keys,
     split_key_change_updates,
 )
@@ -82,6 +84,10 @@ class EngineConfig:
     router: Router = field(default_factory=Router)
     salt: int = 16
     extract_text: bool = True
+    # "bucket_aligned": dedup shares its single shuffle with the sink's
+    # bucket layout (the scale path); "two_phase": salted window dedup
+    # (kept for hot-key-burst-heavy streams where map-side pre-reduce wins)
+    dedup_strategy: str = "bucket_aligned"
     merge_mode: str = "mor"  # "mor" (O(batch) delta append) | "cow" (bucket rewrite)
     # compact when delta bytes exceed this fraction of total table bytes;
     # <= 0 disables auto-compaction (caller compacts explicitly)
@@ -129,8 +135,13 @@ def prepare_changes(pages: LakeTable, df: DataFrame, cfg: "EngineConfig") -> Dat
     projected = df.select(*payload, F.col("op"), F.col("lsn"))
 
     # LWW compaction BEFORE the expensive text extraction: a url hit by a
-    # burst of B events is extracted once, not B times (salted two-phase)
-    deduped = lww_dedup(projected, [cfg.key_col], "lsn", two_phase=True, salt=cfg.salt)
+    # burst of B events is extracted once, not B times.
+    if cfg.dedup_strategy == "bucket_aligned" and pages.manifest.bucket_key == cfg.key_col:
+        # single shuffle, shared with the delta write's bucket layout
+        projected = projected.withColumn(BUCKET_COL, pages.bucket_expr())
+        deduped = lww_dedup_bucket_aligned(projected, [cfg.key_col], "lsn", BUCKET_COL)
+    else:
+        deduped = lww_dedup(projected, [cfg.key_col], "lsn", two_phase=True, salt=cfg.salt)
     if cfg.extract_text and "html" in projected.columns:
         deduped = deduped.withColumn(
             "text",
@@ -255,6 +266,10 @@ class CdcEngine:
                 },
                 dedup_source=False,  # already deduped above
                 mode=cfg.merge_mode,
+                pre_clustered=(
+                    cfg.dedup_strategy == "bucket_aligned"
+                    and self.pages.manifest.bucket_key == cfg.key_col
+                ),
             )
             input_records = int(obs.get["records"] or 0)
             self.metrics["record_count"] += input_records
@@ -350,21 +365,23 @@ class CdcEngine:
                 int((time.monotonic() - t0) * 1000),
             )
         ]
-        df = self.spark.createDataFrame(
-            per_bucket,
-            "job_id string, batch_id long, partition_id int, lsn_min long, lsn_max long,"
-            " input_rows long, merged_rows long, deleted_rows long, snapshot_id long, wall_ms long",
-        )
-        self.lineage.append(df)
+        # driver-side pyarrow append: bookkeeping must not cost a Spark job
+        # per micro-batch (at 10^10 events the fixed per-batch overhead is
+        # what caps events/sec, not the merge itself)
+        self.lineage.append_rows([tuple(r) for r in per_bucket])
 
     def _write_checkpoint(self, batch_id: int, hwm: int) -> None:
-        df = self.spark.sql(
-            "select '{j}' as job_id, {b}L as batch_id, {h}L as hwm_lsn,"
-            " current_timestamp() as committed_at, {s}L as snapshot_id".format(
-                j=self.cfg.job_id, b=batch_id, h=hwm, s=self.pages.version
-            )
+        self.checkpoints.append_rows(
+            [
+                (
+                    self.cfg.job_id,
+                    batch_id,
+                    hwm,
+                    datetime.now(timezone.utc),
+                    self.pages.version,
+                )
+            ]
         )
-        self.checkpoints.append(df)
 
     def _hook(self, stage: str, batch_id: int) -> None:
         if self.cfg.crash_hook is not None:

@@ -58,6 +58,10 @@ def start_stream(
             properties={"stream_batch_id": str(batch_id), "job_id": cfg.job_id},
             dedup_source=False,
             mode=cfg.merge_mode,
+            pre_clustered=(
+                cfg.dedup_strategy == "bucket_aligned"
+                and pages.manifest.bucket_key == cfg.key_col
+            ),
         )
         if cfg.merge_mode == "mor" and cfg.compact_ratio > 0:
             if pages.delta_stats()["delta_fraction"] > cfg.compact_ratio:

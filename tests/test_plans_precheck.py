@@ -39,6 +39,33 @@ def test_where_condition_pushdown_via_filter_config(spark, tmp_path):
     assert any("lang" in f for f in pushed_filters(df))
 
 
+def test_bucket_aligned_merge_prep_is_single_shuffle(spark, tmp_path):
+    """The whole merge prep (filter -> split -> dedup -> extract) must cost
+    exactly ONE Exchange: the bucket-aligned dedup's hash partition, which
+    the delta write then reuses (pre_clustered)."""
+    from ape_dts_spark.plans.inspect import exchange_count
+    from ape_dts_spark.streaming.driver import prepare_changes
+
+    gen_changes(spark, 2000, 200, seed=3).write.parquet(str(tmp_path / "ch"))
+    pp = str(tmp_path / "pages")
+    LakeTable.create(pp, PAGES_COLS, bucket_key="url", bucket_count=8)
+    pages = LakeTable.load(pp)
+    cfg = EngineConfig(job_id="ps", pages_path=pp, changes_path=str(tmp_path / "ch"))
+    deduped = prepare_changes(pages, spark.read.parquet(str(tmp_path / "ch")), cfg)
+    assert "_bucket" in deduped.columns
+    assert exchange_count(deduped) == 1
+
+    # and the result is identical to the two-phase window dedup
+    cfg2 = EngineConfig(
+        job_id="ps2", pages_path=pp, changes_path=str(tmp_path / "ch"),
+        dedup_strategy="two_phase",
+    )
+    ref = prepare_changes(pages, spark.read.parquet(str(tmp_path / "ch")), cfg2)
+    got = {tuple(r) for r in deduped.drop("_bucket").select("url", "lsn", "op").collect()}
+    want = {tuple(r) for r in ref.select("url", "lsn", "op").collect()}
+    assert got == want
+
+
 def _mk_cfg(tmp_path, spark, with_pages=True, n_events=500):
     ch = str(tmp_path / "changes")
     gen_changes(spark, n_events, 100, seed=1).write.parquet(ch)
