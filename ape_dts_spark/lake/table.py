@@ -534,20 +534,46 @@ class LakeTable:
             )
         if not buckets:
             return self.version
-        resolved = self.read(spark, buckets=buckets, keep_op_marker=True).withColumn(
-            BUCKET_COL, self.bucket_expr()
-        )
+        # Bucket-aligned LWW resolution: ONE shuffle (on the bucket column the
+        # writes need anyway) instead of window-on-key + repartition-on-bucket,
+        # and the resolved frame is persisted so the live and tombstone writes
+        # don't each re-read + re-resolve the whole input.
+        from ape_dts_spark.operators.dedup import lww_dedup_bucket_aligned
+
+        order_col = self.manifest.properties.get("merge_order_col", "last_lsn")
+        key = self.manifest.bucket_key
         cur = self.schema
-        cols = [F.col(f["name"]).cast(spark_type(f["type"])).alias(f["name"]) for f in cur.fields]
-        live = resolved.filter(F.col(OP_MARKER_COL) != "delete").select(
-            *cols, F.col(BUCKET_COL)
-        )
-        entries = self._stage_write(live, with_bucket_col=True, kind="base")
-        if keep_tombstones:
-            tombs = resolved.filter(F.col(OP_MARKER_COL) == "delete").select(
-                *cols, F.col(OP_MARKER_COL), F.col(BUCKET_COL)
+        base = self._read_kind(spark, "base", buckets)
+        delta = self._read_kind(spark, "delta", buckets)
+        if base is None:
+            base = spark.createDataFrame([], cur.to_struct())
+        b = base.withColumn(OP_MARKER_COL, F.lit("upsert")).withColumn("_src", F.lit(0))
+        d = (delta if delta is not None else None)
+        u = b if d is None else b.unionByName(d.withColumn("_src", F.lit(1)))
+        u = u.withColumn(BUCKET_COL, self.bucket_expr())
+        resolved = lww_dedup_bucket_aligned(
+            u, [key], order_col=order_col, bucket_col=BUCKET_COL, tiebreak_cols=["_src"]
+        ).persist()
+        try:
+            cols = [
+                F.col(f["name"]).cast(spark_type(f["type"])).alias(f["name"])
+                for f in cur.fields
+            ]
+            live = resolved.filter(F.col(OP_MARKER_COL) != "delete").select(
+                *cols, F.col(BUCKET_COL)
             )
-            entries += self._stage_write(tombs, with_bucket_col=True, kind="tombstone")
+            entries = self._stage_write(
+                live, with_bucket_col=True, kind="base", pre_clustered=True
+            )
+            if keep_tombstones:
+                tombs = resolved.filter(F.col(OP_MARKER_COL) == "delete").select(
+                    *cols, F.col(OP_MARKER_COL), F.col(BUCKET_COL)
+                )
+                entries += self._stage_write(
+                    tombs, with_bucket_col=True, kind="tombstone", pre_clustered=True
+                )
+        finally:
+            resolved.unpersist()
         bset = set(buckets)
         kept = [f for f in self.manifest.files if f["bucket"] not in bset]
         props = dict(self.manifest.properties)

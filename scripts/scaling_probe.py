@@ -22,12 +22,33 @@ def prepare(workdir, n_seed, n_events):
     from ape_dts_spark.session import get_spark
     from ape_dts_spark.sources.generator import gen_changes, gen_ddl_events
 
+    from pyspark.sql import functions as F
+
+    from ape_dts_spark.functions.extract_text import extract_text_udf
+    from ape_dts_spark.lake.table import LakeTable
+    from ape_dts_spark.sources.generator import PAGES_COLS, gen_pages_seed
+
     s = get_spark("gen", master="local[32]", shuffle_partitions=32)
     if not os.path.exists(f"{workdir}/changes"):
-        gen_changes(s, n_events, n_seed, seed=42).write.parquet(f"{workdir}/changes")
+        # many files: scan-split parallelism must exceed the largest core
+        # level at BOTH levels, or the scan stage caps the whole comparison
+        gen_changes(s, n_events, n_seed, seed=42).repartition(128).write.parquet(
+            f"{workdir}/changes"
+        )
         gen_ddl_events(s, n_events).write.parquet(f"{workdir}/ddl")
         with open(f"{workdir}/meta.json", "w") as f:
             json.dump({"n_seed": n_seed, "n_events": n_events}, f)
+    # seed pages tables built ONCE here (setup, not the measured CDC tail);
+    # run cells copy the directory instead of re-extracting 10^6 seed rows
+    for extract in (0, 1):
+        sp = f"{workdir}/pages_seed_e{extract}"
+        if os.path.exists(sp):
+            continue
+        t = LakeTable.create(sp, PAGES_COLS, bucket_key="url", bucket_count=64)
+        seed = gen_pages_seed(s, n_seed, seed=42)
+        if extract:
+            seed = seed.withColumn("text", extract_text_udf(F.col("html")))
+        t.append(seed)
     s.stop()
 
 
@@ -45,20 +66,22 @@ def run_cell(workdir, cores, extract):
     # RAM-backed shuffle dir: the sandbox's single shared disk writes at
     # ~286 MB/s (measured), which caps BOTH parallelism levels identically; a
     # real N vs 4N cluster has per-executor disks.  tmpfs emulates that.
+    # IDENTICAL config at both levels except the core count: same shuffle
+    # partitioning (= bucket count, so plans are identical), same split
+    # size (4 MB compressed ~= 40 MB of rows: >=32 splits per batch slice).
     s = get_spark(
-        f"cell{cores}", master=f"local[{cores}]", shuffle_partitions=cores,
-        extra_conf={"spark.local.dir": f"/dev/shm/spark-local-{cores}"},
+        f"cell{cores}", master=f"local[{cores}]", shuffle_partitions=64,
+        extra_conf={
+            "spark.local.dir": f"/dev/shm/spark-local-{cores}",
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+        },
     )
 
     def one_run(tag, warmup_frac=None):
         pp = f"{workdir}/pages_{tag}"
         for sfx in ("", "_checkpoints", "_lineage"):
             shutil.rmtree(pp + sfx, ignore_errors=True)
-        t = LakeTable.create(pp, PAGES_COLS, bucket_key="url", bucket_count=64)
-        seed = gen_pages_seed(s, n_seed, seed=42)
-        if extract:
-            seed = seed.withColumn("text", extract_text_udf(F.col("html")))
-        t.append(seed)
+        shutil.copytree(f"{workdir}/pages_seed_e{extract}", pp)
         cfg = EngineConfig(
             job_id=tag, pages_path=pp, changes_path=f"{workdir}/changes",
             ddl_path=f"{workdir}/ddl", batch_lsn_width=n_events,
@@ -70,7 +93,15 @@ def run_cell(workdir, cores, extract):
         wall = time.monotonic() - t0
         return summ, wall, eng
 
+    def gc_ms():
+        t = 0
+        beans = s._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        for i in range(beans.size()):
+            t += beans.get(i).getCollectionTime()
+        return t
+
     one_run(f"w{cores}e{extract}", warmup_frac=0.1)  # warmup: first batch only
+    g0 = gc_ms()
     summ, wall, eng = one_run(f"m{cores}e{extract}")
     print(
         json.dumps(
@@ -78,6 +109,7 @@ def run_cell(workdir, cores, extract):
                 "cores": cores,
                 "extract": extract,
                 "wall_sec": round(wall, 2),
+                "gc_sec": round((gc_ms() - g0) / 1000, 1),
                 "events": summ["events"],
                 "events_per_sec": round(summ["events"] / wall, 1),
                 "batch_log": eng.batch_log,
@@ -97,10 +129,15 @@ def orchestrate(workdir, n_seed, n_events):
     # (shared hypervisor); interleaving levels and keeping each level's best
     # run measures the engine, not the neighbor traffic.
     reps = int(os.environ.get("PROBE_REPS", "3"))
+    # N vs 4N within PHYSICAL cores: this host exposes 32 hw threads over
+    # ~16 physical cores; a pure-CPU process pool scales 4->16 at ~1.0
+    # efficiency but 8->32 at only ~0.69 (SMT) — so 4 vs 16 is the honest
+    # stand-in for "same job, 4x executors" (see BENCH/BASELINE.md).
+    levels = tuple(int(x) for x in os.environ.get("PROBE_LEVELS", "4,16").split(","))
     results: dict = {}
     for rep in range(reps):
         for extract in (1, 0):
-            for cores in (8, 32):
+            for cores in levels:
                 out = subprocess.run(
                     [sys.executable, __file__, "run", workdir, str(cores), str(extract)],
                     check=True, capture_output=True, text=True,
@@ -111,12 +148,16 @@ def orchestrate(workdir, n_seed, n_events):
                     results[key] = r
                 print(f"rep{rep} extract={extract} cores={cores}: "
                       f"{r['events_per_sec']} ev/s ({r['wall_sec']}s)", flush=True)
+    lo, hi = levels[0], levels[-1]
     for extract in (0, 1):
         eff = (
-            results[(extract, 32)]["events_per_sec"]
-            / results[(extract, 8)]["events_per_sec"]
-        ) / 4
-        print(f"extract={extract}: best-of-{reps} efficiency 8->32 = {eff:.3f}", flush=True)
+            results[(extract, hi)]["events_per_sec"]
+            / results[(extract, lo)]["events_per_sec"]
+        ) / (hi / lo)
+        print(
+            f"extract={extract}: best-of-{reps} efficiency {lo}->{hi} = {eff:.3f}",
+            flush=True,
+        )
     with open(f"{workdir}/results.json", "w") as f:
         json.dump({f"e{e}_c{c}": v for (e, c), v in results.items()}, f, indent=1)
 
