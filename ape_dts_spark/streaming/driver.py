@@ -89,12 +89,38 @@ class EngineConfig:
     # (kept for hot-key-burst-heavy streams where map-side pre-reduce wins)
     dedup_strategy: str = "bucket_aligned"
     merge_mode: str = "mor"  # "mor" (O(batch) delta append) | "cow" (bucket rewrite)
-    # compact when delta bytes exceed this fraction of total table bytes;
-    # <= 0 disables auto-compaction (caller compacts explicitly)
+    # compact a bucket when its delta bytes exceed this fraction of the
+    # bucket's total bytes; <= 0 disables auto-compaction
     compact_ratio: float = 0.5
+    # at most this many buckets are compacted after any one batch — bounds
+    # the per-batch maintenance stall and amortizes compaction across the
+    # tail instead of a whole-table stop-the-world rewrite
+    compact_max_buckets: int = 16
     # test hook: callable(stage: str, batch_id: int) that may raise to
     # simulate a crash at a precise point ("post_merge", "post_checkpoint")
     crash_hook: object | None = None
+
+
+def maybe_compact(spark: SparkSession, pages: LakeTable, cfg: "EngineConfig") -> bool:
+    """Incremental MOR maintenance: compact the hottest buckets (per-bucket
+    delta fraction above cfg.compact_ratio), at most cfg.compact_max_buckets
+    per call.  Bounded per-batch work — at 10^10 events a whole-table
+    compaction is a multi-minute stall; per-bucket folding keeps the tail
+    latency flat while converging to the same state."""
+    if cfg.merge_mode != "mor" or cfg.compact_ratio <= 0:
+        return False
+    per = pages.delta_stats()["per_bucket"]
+    cand = [
+        (b, v["delta"])
+        for b, v in per.items()
+        if v["delta"] > 0 and v["delta"] > cfg.compact_ratio * (v["base"] + v["delta"])
+    ]
+    if not cand:
+        return False
+    cand.sort(key=lambda x: x[1], reverse=True)
+    sel = [b for b, _ in cand[: max(1, cfg.compact_max_buckets)]]
+    pages.compact(spark, buckets=sel)
+    return True
 
 
 def historical_names(pages: LakeTable) -> dict[str, list[str]]:
@@ -287,12 +313,7 @@ class CdcEngine:
 
         # fold delta files into base when they dominate (MOR maintenance;
         # crash-safe: compaction is one atomic commit, a no-op to replay)
-        compacted = False
-        if cfg.merge_mode == "mor" and cfg.compact_ratio > 0:
-            ds = self.pages.delta_stats()
-            if ds["delta_fraction"] > cfg.compact_ratio:
-                self.pages.compact(self.spark)
-                compacted = True
+        compacted = maybe_compact(self.spark, self.pages, cfg)
         t_compact = time.monotonic() - t0 - t_prep - t_merge
 
         if ddl is not None:

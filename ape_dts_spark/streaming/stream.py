@@ -25,7 +25,7 @@ from pyspark.sql import SparkSession
 
 from ape_dts_spark.lake.table import LakeTable
 from ape_dts_spark.operators.merge import merge_into
-from ape_dts_spark.streaming.driver import EngineConfig, prepare_changes
+from ape_dts_spark.streaming.driver import EngineConfig, maybe_compact, prepare_changes
 
 
 def start_stream(
@@ -63,9 +63,7 @@ def start_stream(
                 and pages.manifest.bucket_key == cfg.key_col
             ),
         )
-        if cfg.merge_mode == "mor" and cfg.compact_ratio > 0:
-            if pages.delta_stats()["delta_fraction"] > cfg.compact_ratio:
-                pages.compact(spark)
+        maybe_compact(spark, pages, cfg)
 
     checkpoint_dir = checkpoint_dir or os.path.join(
         cfg.pages_path.rstrip("/") + "_streamckpt"
