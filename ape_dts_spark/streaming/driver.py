@@ -221,7 +221,12 @@ class CdcEngine:
         return (row["h"] or 0), (row["b"] if row["b"] is not None else -1)
 
     def _changes(self) -> DataFrame:
-        return self.spark.read.parquet(self.cfg.changes_path)
+        # schema inference reads parquet footers = one driver job; do it once
+        # per engine, not once per batch (fixed per-batch cost kills the
+        # scaling of short batches)
+        if not hasattr(self, "_changes_schema"):
+            self._changes_schema = self.spark.read.parquet(self.cfg.changes_path).schema
+        return self.spark.read.schema(self._changes_schema).parquet(self.cfg.changes_path)
 
     def max_lsn(self) -> int:
         row = self._changes().agg(F.max("lsn")).collect()[0]
