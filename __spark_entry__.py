@@ -390,8 +390,9 @@ def q_dedup_keep_first(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates: shingle -> 8 md5-minhashes -> 4 bands
-    -> bucket self-join (sub-quadratic; identical docs always collide)."""
+    """MinHash+LSH near-dup candidates: shingle -> one md5 -> 8 integer
+    universal-hash minhashes -> 4 bands -> capped bucket self-join
+    (sub-quadratic; identical docs always collide; megabuckets dropped)."""
     from ape_dts_spark.operators.text_dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -401,7 +402,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     docs = _docs_with_dups(spark, sf_dir)
     sh = word_shingles(docs, "doc_id", "text", k=5)
     sig = minhash_signatures(sh, "doc_id", num_hashes=8)
-    return lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4)
+    return lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4, max_bucket=64)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -413,12 +414,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash fingerprints + near-dup pairs (hamming<=3 in 16-bit prefix
-    buckets).  xxhash64-based: deterministic but Spark-specific (rows-only)."""
+    """SimHash fingerprints + near-dup pairs (hamming<=3 via 4-block
+    pigeonhole blocking, 100% recall).  md5-nibble votes: engine-portable,
+    fully oracle-checked."""
     from ape_dts_spark.operators.text_dedup import simhash, simhash_near_dups
 
     fps = simhash(_docs_with_dups(spark, sf_dir))
-    return simhash_near_dups(fps, max_hamming=3, prefix_bits=16)
+    return simhash_near_dups(fps, max_hamming=3)
 
 
 def q_text_tokens(spark, sf_dir):
@@ -458,18 +460,24 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (scale path; rows-only oracle)."""
+    """LSH-bucketed approximate top-k (scale path).  The hyperplanes are
+    hash-derived (no RNG state) and the bucket dot-products left-fold in
+    double, so the DuckDB oracle reproduces buckets bit-for-bit."""
     from ape_dts_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact, id-blocked); duplicated
+    """Embedding-cosine near-dup pairs, LSH-table blocked (similarity-
+    preserving: identical vectors collide in every table); duplicated
     vec_id<8 copies guarantee positives at every sf."""
     from ape_dts_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -478,7 +486,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     out = embedding_near_dup_pairs(
-        emb.unionByName(dups), threshold=0.95, block_mod=8
+        emb.unionByName(dups), threshold=0.95, dim=64, n_tables=3, planes_per_table=4
     )
     return out.select("a", "b", F.round("cos_sim", 4).alias("cos_sim"))
 
@@ -550,6 +558,181 @@ _DOCS_DUPS_SQL = (
     "SELECT doc_id, text FROM documents "
     "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20"
 )
+
+
+def _minhash_oracle_sql(num_hashes: int = 8, bands: int = 4, max_bucket: int = 64) -> str:
+    """DuckDB mirror of minhash_signatures + lsh_candidate_pairs: the same
+    (a_i, b_i) universal-hash constants are embedded as literals."""
+    from ape_dts_spark.operators.text_dedup import MINHASH_PRIME, minhash_params
+
+    a, b = minhash_params(num_hashes)
+    mh_exprs = ",\n                   ".join(
+        f"min(({a[i]} * x + {b[i]}) % {MINHASH_PRIME}) AS mh{i}" for i in range(num_hashes)
+    )
+    rpb = num_hashes // bands
+    band_cases = " ".join(
+        "WHEN {bb} THEN {sig}".format(
+            bb=bb,
+            sig=" || '|' || ".join(
+                f"CAST(mh{bb * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for bb in range(bands)
+    )
+    return (
+        "WITH "
+        + _SHINGLES_SQL.format(docs=_DOCS_DUPS_SQL, k=5)
+        + f"""
+            , mh AS (
+              SELECT doc_id, {mh_exprs}
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(shingle), 1, 12))::BIGINT % {MINHASH_PRIME} AS x
+                    FROM sh)
+              GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, band, CASE band {band_cases} END AS sig
+              FROM mh CROSS JOIN (SELECT unnest(range(0, {bands})) AS band)
+            ), capped AS (
+              SELECT doc_id, band, sig FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, sig) AS bn FROM bands
+              ) WHERE bn <= {max_bucket}
+            )
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM capped l JOIN capped r
+              ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+        """
+    )
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB mirror of simhash (md5-nibble votes -> fp_hi/fp_lo halves) +
+    simhash_near_dups (4-block pigeonhole join)."""
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN (((strpos('0123456789abcdef', substr(d, {b // 4 + 1}, 1)) - 1)"
+        f" >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    hi = " + ".join(
+        f"CASE WHEN v{32 + k} > 0 THEN (1::BIGINT << {k}) ELSE 0::BIGINT END"
+        for k in range(32)
+    )
+    lo = " + ".join(
+        f"CASE WHEN v{k} > 0 THEN (1::BIGINT << {k}) ELSE 0::BIGINT END" for k in range(32)
+    )
+    return rf"""
+            WITH w AS (
+              SELECT DISTINCT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+                FROM ({_DOCS_DUPS_SQL})
+              ) WHERE length(word) > 0
+            ), v AS (
+              SELECT doc_id, {votes}
+              FROM (SELECT doc_id, md5(word) AS d FROM w)
+              GROUP BY doc_id
+            ), fp AS (
+              SELECT doc_id, CAST({hi} AS BIGINT) AS fp_hi, CAST({lo} AS BIGINT) AS fp_lo
+              FROM v
+            ), blocks AS (
+              SELECT doc_id, fp_hi, fp_lo, i,
+                     CASE i WHEN 0 THEN fp_hi // 65536 WHEN 1 THEN fp_hi % 65536
+                            WHEN 2 THEN fp_lo // 65536 ELSE fp_lo % 65536 END AS val
+              FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+            ), pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                     l.fp_hi AS lhi, l.fp_lo AS llo, r.fp_hi AS rhi, r.fp_lo AS rlo
+              FROM blocks l JOIN blocks r
+                ON l.i = r.i AND l.val = r.val AND l.doc_id < r.doc_id
+            )
+            SELECT a, b,
+                   CAST(bit_count(xor(lhi, rhi)) + bit_count(xor(llo, rlo)) AS INTEGER)
+                     AS hamming
+            FROM pairs
+            WHERE bit_count(xor(lhi, rhi)) + bit_count(xor(llo, rlo)) <= {max_hamming}
+        """
+
+
+def _plane_sql(seed_expr: str) -> str:
+    """One hyperplane row as a DOUBLE[] — the exact formula of
+    similarity.random_hyperplanes, evaluated in double in both engines."""
+    return (
+        f"list_transform(range(0, 64), d -> "
+        f"(((({seed_expr} * 1000003 + p * 10007 + d * 101) % 2000003) % 1999)::DOUBLE"
+        f" / (999.5)::DOUBLE) - (1.0)::DOUBLE)"
+    )
+
+
+#: left-fold dot product identical to similarity._dot's aggregate() order,
+#: so bucket sign bits agree bit-for-bit between Spark and DuckDB.
+_FOLD_DOT = (
+    "list_reduce(list_prepend((0.0)::DOUBLE, "
+    "list_transform(list_zip(v, pv), x -> x[1] * x[2])), (acc, e) -> acc + e)"
+)
+
+
+def _ann_lsh_oracle_sql(n_planes: int = 6, k: int = 5, seed: int = 42) -> str:
+    return f"""
+            WITH pl AS (
+              SELECT p, {_plane_sql(str(seed))} AS pv
+              FROM (SELECT unnest(range(0, {n_planes})) AS p)
+            ), base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), dots AS (
+              SELECT vec_id, p, {_FOLD_DOT} AS d
+              FROM base CROSS JOIN pl
+            ), sig AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)
+                          AS BIGINT) AS bucket
+              FROM dots GROUP BY vec_id
+            ), bb AS (
+              SELECT s.vec_id, s.bucket, b.v FROM sig s JOIN base b USING (vec_id)
+            ), scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.v, c.v) AS cos_sim
+              FROM bb q JOIN bb c
+                ON q.bucket = c.bucket AND q.vec_id < 8 AND q.vec_id <> c.vec_id
+            )
+            SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= {k}
+        """
+
+
+def _embedding_near_dup_oracle_sql(
+    threshold: float = 0.95, n_tables: int = 3, planes_per_table: int = 4, seed: int = 42
+) -> str:
+    return f"""
+            WITH allv AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id < 8
+            ), base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM allv
+            ), pl AS (
+              SELECT t, p, {_plane_sql(f"({seed} + t)")} AS pv
+              FROM (SELECT unnest(range(0, {n_tables})) AS t)
+              CROSS JOIN (SELECT unnest(range(0, {planes_per_table})) AS p)
+            ), dots AS (
+              SELECT vec_id, t, p, {_FOLD_DOT} AS d
+              FROM base CROSS JOIN pl
+            ), sig AS (
+              SELECT vec_id, t,
+                     CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)
+                          AS BIGINT) AS bkt
+              FROM dots GROUP BY vec_id, t
+            ), cand AS (
+              SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+              FROM sig l JOIN sig r
+                ON l.t = r.t AND l.bkt = r.bkt AND l.vec_id < r.vec_id
+            )
+            SELECT a, b, round(list_cosine_similarity(ba.v, bb.v), 4) AS cos_sim
+            FROM cand JOIN base ba ON ba.vec_id = a JOIN base bb ON bb.vec_id = b
+            WHERE list_cosine_similarity(ba.v, bb.v) >= {threshold}
+        """
 
 _SHINGLES_SQL = """
 words AS (
@@ -629,8 +812,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(lsn / 1000) AS BIGINT) AS batch_id,
                    user_id % 16 AS partition_id,
                    count(*) AS input_rows, min(lsn) AS lsn_min, max(lsn) AS lsn_max,
-                   sum(length(props)) AS data_bytes,
-                   sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS n_deletes
+                   CAST(sum(length(props)) AS BIGINT) AS data_bytes,
+                   CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
             FROM ch GROUP BY 1, 2
         """,
         "cdc_tx_boundary": f"""
@@ -644,7 +827,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    max(CASE WHEN op = 'delete' THEN lsn END) AS last_delete_lsn,
                    max(CASE WHEN op <> 'delete' THEN lsn END) AS last_upsert_lsn,
-                   sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS n_deletes
+                   CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
             FROM ch GROUP BY user_id
             HAVING max(CASE WHEN op = 'delete' THEN lsn END) IS NOT NULL
                AND max(CASE WHEN op <> 'delete' THEN lsn END)
@@ -755,8 +938,8 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
               SELECT user_id, event_id,
-                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM g
             )
             SELECT user_id, session_id, count(*) AS n_events,
@@ -782,32 +965,20 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_DOCS_DUPS_SQL})
             ) WHERE rn = 1
         """,
-        "dedup_minhash_lsh": (
-            "WITH "
-            + _SHINGLES_SQL.format(docs=_DOCS_DUPS_SQL, k=5)
-            + """
-            , seeds AS (SELECT unnest(range(0, 8)) AS i)
-            , mh AS (
-              SELECT doc_id, i, min(md5(shingle || '#' || i)) AS mh
-              FROM sh CROSS JOIN seeds GROUP BY doc_id, i
-            ), bands AS (
-              SELECT doc_id, CAST(i // 2 AS INT) AS band,
-                     string_agg(mh, '|' ORDER BY i) AS sig
-              FROM mh GROUP BY doc_id, i // 2
-            )
-            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-            FROM bands l JOIN bands r
-              ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-        """
-        ),
+        "dedup_minhash_lsh": _minhash_oracle_sql(num_hashes=8, bands=4, max_bucket=64),
         "dedup_ngram_jaccard": (
             "WITH "
             + _SHINGLES_SQL.format(docs=_DOCS_DUPS_SQL, k=3)
             + """
             , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+            , shc AS (
+              SELECT doc_id, shingle FROM (
+                SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+              ) WHERE df <= 1000
+            )
             , inter AS (
               SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
-              FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+              FROM shc l JOIN shc r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
               GROUP BY 1, 2
             )
             SELECT a, b,
@@ -818,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.03
         """
         ),
+        "dedup_simhash": _simhash_oracle_sql(max_hamming=3),
         "text_tokens": r"""
             SELECT doc_id,
                    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -911,21 +1083,10 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 5
         """,
-        "dedup_embedding_cosine": """
-            WITH allv AS (
-              SELECT vec_id, embedding FROM embeddings
-              UNION ALL
-              SELECT vec_id + 100000 AS vec_id, embedding
-              FROM embeddings WHERE vec_id < 8
-            ), base AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v FROM allv
-            )
-            SELECT l.vec_id AS a, r.vec_id AS b,
-                   round(list_cosine_similarity(l.v, r.v), 4) AS cos_sim
-            FROM base l JOIN base r
-              ON l.vec_id < r.vec_id AND l.vec_id % 8 = r.vec_id % 8
-            WHERE list_cosine_similarity(l.v, r.v) >= 0.95
-        """,
+        "ann_lsh_topk": _ann_lsh_oracle_sql(n_planes=6, k=5, seed=42),
+        "dedup_embedding_cosine": _embedding_near_dup_oracle_sql(
+            threshold=0.95, n_tables=3, planes_per_table=4, seed=42
+        ),
         "media_metadata": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS digest, true AS decode_ok

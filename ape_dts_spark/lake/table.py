@@ -270,12 +270,20 @@ class LakeTable:
         """Read the current **resolved** snapshot, pruned to `buckets`.
 
         Merge-on-read: base files union delta files (upsert/delete markers
-        from MOR merges), resolved to one surviving row per key by a LWW
-        window over (order_col desc, delta-over-base).  Tables without
-        deltas skip the window entirely (plain scan).
+        from MOR merges), resolved to one surviving row per key.  Resolution
+        is **bucket-aligned** (same shape as compact()): the LWW window
+        partitions by the table's bucket transform — a function of the key,
+        so every key's rows share a bucket — and sorts (key asc, order desc,
+        delta-over-base) within it.  One Exchange on the bucket column
+        (bounded lanes, reusable by downstream bucket-aligned merges/writes)
+        instead of a whole-table hash shuffle keyed on the raw key, which at
+        10^10 rows was the single biggest scale cost of resolved reads.
+        Tables without deltas skip resolution entirely (plain scan).
 
         keep_op_marker=True retains the winning delete rows with their `_op`
         column (compaction's tombstone-retention input)."""
+        from ape_dts_spark.operators.dedup import lww_dedup_bucket_aligned
+
         cur = self.schema
         base = self._read_kind(spark, "base", buckets)
         delta = self._read_kind(spark, "delta", buckets)
@@ -290,13 +298,10 @@ class LakeTable:
             base = spark.createDataFrame([], cur.to_struct())
         b = base.withColumn(OP_MARKER_COL, F.lit("upsert")).withColumn("_src", F.lit(0))
         d = delta.withColumn("_src", F.lit(1))
-        u = b.unionByName(d)
-        w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), F.col("_src").desc())
-        resolved = (
-            u.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_src")
-        )
+        u = b.unionByName(d).withColumn(BUCKET_COL, self.bucket_expr())
+        resolved = lww_dedup_bucket_aligned(
+            u, [key], order_col=order_col, bucket_col=BUCKET_COL, tiebreak_cols=["_src"]
+        ).drop("_src", BUCKET_COL)
         if keep_op_marker:
             return resolved
         return resolved.filter(F.col(OP_MARKER_COL) != "delete").drop(OP_MARKER_COL)

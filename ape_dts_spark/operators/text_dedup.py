@@ -64,19 +64,44 @@ def word_shingles(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     )
 
 
+#: modulus for the minhash universal-hash family (largest prime < 2^32).
+MINHASH_PRIME = 4294967291
+
+
+def minhash_params(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) universal-hash parameters.
+
+    Shared with the SQL oracles (the literal values are embedded in the
+    generated oracle text), so both engines hash identically.
+    """
+    a = [(15485863 * (i + 1)) % 1073741789 for i in range(num_hashes)]
+    b = [(32452843 * (i + 1)) % MINHASH_PRIME for i in range(num_hashes)]
+    return a, b
+
+
 def minhash_signatures(
     shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
 ) -> DataFrame:
-    """K deterministic minhashes per doc: min over md5(shingle || seed).
+    """K deterministic minhashes per doc over a shared integer base hash.
 
-    md5 is used (not xxhash64) so an external SQL engine can reproduce the
-    signature bit-for-bit — lexicographic min over hex digests.
+    base = first 12 hex chars of md5(shingle) mod p (ONE digest per shingle,
+    not K), h_i = (a_i * base + b_i) mod p.  Aggregation state is K 8-byte
+    longs instead of K 32-byte hex strings — ~4x less shuffle per doc and a
+    single md5 in the scan — while staying engine-portable: any SQL engine
+    with md5 + 64-bit ints reproduces the signature bit-for-bit
+    (a_i < 2^30 and base < 2^32, so a_i * base + b_i < 2^63 never overflows).
     """
+    a, b = minhash_params(num_hashes)
+    base = F.pmod(
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast("long"),
+        F.lit(MINHASH_PRIME),
+    )
+    sh = shingled.withColumn("_x", base)
     mins = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        F.min((F.lit(a[i]) * F.col("_x") + F.lit(b[i])) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return shingled.groupBy(id_col).agg(*mins)
+    return sh.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(
@@ -84,11 +109,19 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Band the signature and self-join per band bucket -> candidate pairs.
 
     Each band's signature is the concat of its rows; docs agreeing on any
     band become a candidate pair.  Output: (a, b) with a < b, distinct.
+
+    ``max_bucket`` caps band-bucket membership: a bucket of M identical docs
+    would otherwise emit M^2/2 pairs, and at 10^10 docs a boilerplate
+    megabucket is quadratic death.  Buckets above the cap are dropped whole
+    (their members are byte-near-identical and are caught by the exact-dedup
+    pass); the drop is deterministic, so SQL oracles mirror it with a
+    windowed count.  Set None to disable.
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -98,6 +131,13 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "sig")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -118,15 +158,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard over k-word shingle sets for pairs sharing >=1 shingle.
 
     inter(a,b) counted by the shingle self-join; union = |A|+|B|-inter.
     Quadratic in the worst case — use after LSH blocking at scale; exact on
     its own for small corpora / verification.
+
+    ``max_doc_freq`` drops shingles present in more than that many docs from
+    the self-join (a single hot shingle like "click here to" pairs every doc
+    containing it — quadratic).  Set sizes stay exact (computed pre-cap), so
+    with capping the reported jaccard is a deterministic LOWER BOUND; pairs
+    whose overlap is carried only by stop-shingles fall out, which is the
+    desired behavior for near-dup mining.  Set None for exact.
     """
     sh = word_shingles(docs, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    if max_doc_freq is not None:
+        wdf = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     l, r = sh.alias("l"), sh.alias("r")
     inter = (
         l.join(
@@ -151,53 +206,83 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit simhash fingerprint: per distinct word, xxhash64 -> +-1 votes
-    per bit, summed; fingerprint bit b = 1 iff the vote is positive.
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit simhash fingerprint as two 32-bit halves (fp_hi, fp_lo).
+
+    Per distinct word, md5 -> 64 bit-votes (+1/-1) taken from the first 16
+    hex nibbles of the digest, summed per doc; fingerprint bit b = 1 iff the
+    vote is positive.  md5-nibble votes (instead of xxhash64) make the
+    fingerprint engine-portable: any SQL engine with md5 + strpos reproduces
+    it bit-for-bit, which is what lets the driver oracle check it.  Two
+    32-bit halves avoid 64-bit sign/overflow differences across engines.
 
     Pure built-in expressions (explode + bitwise ops + aggregate), no UDF.
     """
     words = docs.select(
         F.col(id_col), F.explode(F.array_distinct(_norm_words(F.col(text_col)))).alias("w")
     ).filter(F.length("w") > 0)
-    h = F.xxhash64(F.col("w"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
+    d = F.md5(F.col("w"))
+    nibs = [F.conv(F.substring(d, j + 1, 1), 16, 10).cast("int") for j in range(16)]
+    votes = []
+    for b in range(64):
+        bit = F.shiftright(nibs[b // 4], b % 4).bitwiseAND(F.lit(1))
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{b}"))
     agg = words.groupBy(id_col).agg(*votes)
-    fp = None
-    for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, b)
-        fp = term if fp is None else fp.bitwiseXOR(term)
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+    def half(off: int):
+        e = F.lit(0).cast("long")
+        for k in range(32):
+            e = e + F.when(
+                F.col(f"v{off + k}") > 0, F.lit(1 << k).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return e
+
+    return agg.select(F.col(id_col), half(32).alias("fp_hi"), half(0).alias("fp_lo"))
 
 
 def simhash_near_dups(
-    fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, prefix_bits: int = 16
+    fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs = same high-prefix bucket AND hamming(simhash) <= k.
-
-    Prefix bucketing bounds the self-join (standard simhash blocking); at
-    scale you'd run 4 rotations to guarantee recall — exposed via
-    `prefix_bits` so callers can compose rotations.
+    """Near-dup pairs via 4-block pigeonhole blocking: split the 64-bit
+    fingerprint into four 16-bit blocks; any pair with hamming <= 3 differs
+    in at most 3 blocks, so it MUST agree on at least one — the block
+    equi-join has 100% recall at max_hamming <= 3 (the classic Manku/Jain/
+    Sarma simhash dedup layout) while bounding the self-join to same-block
+    buckets.  For max_hamming > 3 more blocks would be needed; this raises.
     """
-    bucket = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
-    b = fps.select(F.col(id_col), F.col("simhash"), bucket.alias("bucket"))
+    if max_hamming > 3:
+        raise ValueError("4-block blocking guarantees recall only for max_hamming <= 3")
+    blocks = F.array(
+        F.shiftrightunsigned(F.col("fp_hi"), 16),
+        F.col("fp_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftrightunsigned(F.col("fp_lo"), 16),
+        F.col("fp_lo").bitwiseAND(F.lit(0xFFFF)),
+    )
+    b = fps.select(
+        F.col(id_col), F.col("fp_hi"), F.col("fp_lo"), F.posexplode(blocks).alias("blk", "val")
+    )
     l, r = b.alias("l"), b.alias("r")
-    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
-    return (
+    pairs = (
         l.join(
             r,
-            (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
             F.col(f"l.{id_col}").alias("a"),
             F.col(f"r.{id_col}").alias("b"),
-            ham.alias("hamming"),
+            F.col("l.fp_hi").alias("_lhi"),
+            F.col("l.fp_lo").alias("_llo"),
+            F.col("r.fp_hi").alias("_rhi"),
+            F.col("r.fp_lo").alias("_rlo"),
         )
-        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("_lhi").bitwiseXOR(F.col("_rhi")))
+        + F.bit_count(F.col("_llo").bitwiseXOR(F.col("_rlo")))
+    ).cast("int")
+    return pairs.select("a", "b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
     )

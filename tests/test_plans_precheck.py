@@ -91,3 +91,34 @@ def test_precheck_ok_and_failures(spark, tmp_path):
     cfg3 = EngineConfig(job_id="pc", pages_path=cfg3.pages_path, changes_path=dup)
     with pytest.raises(PrecheckError, match="duplicate LSNs"):
         precheck(spark, cfg3)
+
+
+def test_resolved_read_is_bucket_aligned_single_shuffle(spark, tmp_path):
+    """MOR resolved reads must shuffle exactly ONCE, on the table's bucket
+    column (bounded lanes aligned with the file layout) — never a
+    whole-table hash Exchange keyed on the raw key (VERDICT r1 #4)."""
+    from ape_dts_spark.operators.merge import merge_into
+    from ape_dts_spark.plans.inspect import exchange_count, explain_str
+
+    cols = [("url", "string", False), ("v", "int", True), ("last_lsn", "long", True)]
+    t = LakeTable.create(str(tmp_path / "p"), cols, bucket_key="url", bucket_count=4)
+    t.append(
+        spark.createDataFrame(
+            [(f"u{i}", i, 0) for i in range(50)], "url string, v int, last_lsn long"
+        )
+    )
+    ch = spark.createDataFrame(
+        [("u1", 100, "update", 5), ("u2", None, "delete", 6), ("zz", 7, "insert", 7)],
+        "url string, v int, op string, lsn long",
+    )
+    merge_into(spark, t, ch, mode="mor")
+    resolved = t.read(spark)
+    assert exchange_count(resolved) == 1
+    txt = explain_str(resolved, "simple").split("== Initial Plan ==")[0]
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^,)]+)", txt)
+    assert parts and all(p.strip().startswith("_bucket") for p in parts)
+    # and the resolved content is right
+    got = {r["url"]: r["v"] for r in resolved.collect()}
+    assert got["u1"] == 100 and "u2" not in got and got["zz"] == 7
