@@ -705,6 +705,34 @@ class LakeTable:
 
         return self._evolve(mutate)
 
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column drop (reference ddl_type.rs DropColumn via
+        AlterTable): the field id is retired, data files are untouched, and
+        readers simply never select the dropped id again.  Re-adding the same
+        name later mints a NEW id, so old values can never resurrect.
+        The bucket key cannot be dropped."""
+        if name == self.manifest.bucket_key:
+            raise ValueError(f"cannot drop bucket key column {name}")
+
+        def mutate(s: TableSchema):
+            for i, f in enumerate(s.fields):
+                if f["name"] == name:
+                    del s.fields[i]
+                    return
+            raise ValueError(f"no column {name}")
+
+        return self._evolve(mutate)
+
+    def truncate(self) -> int:
+        """TRUNCATE TABLE (reference ddl_type.rs TruncateTable): one commit
+        with an empty file list; schema, bucket spec and history survive.
+        Old data files become unreferenced (time-travel still sees them
+        through older manifests).  Idempotent — truncating an empty table
+        commits another empty snapshot with the same visible state."""
+        m = self._next_manifest(files=[])
+        self._publish(m)
+        return m.version
+
     def widen_column(self, name: str, to_type: str) -> int:
         def mutate(s: TableSchema):
             for f in s.fields:

@@ -142,13 +142,32 @@ def split_key_change_updates(
 
 
 def reverse_ops(df: DataFrame, op_col: str = "op") -> DataFrame:
-    """Insert<->Delete swap for reverse/undo streams (reference row_data.rs:54-69)."""
-    return df.withColumn(
+    """Insert<->Delete swap for reverse/undo streams (reference row_data.rs:54-69).
+
+    The reference's reverse also swaps before/after images for updates; this
+    stream carries after-images plus `before_*` key columns only, so the
+    update reversal here swaps each `before_X` column with `X` (a reversed
+    key-changing update points back at the old key).  Full-payload
+    before-images are not modeled (see generator.py docstring) — a reversed
+    update keeps its after-image payload, documented limitation."""
+    out = df.withColumn(
         op_col,
         F.when(F.col(op_col) == "insert", F.lit("delete"))
         .when(F.col(op_col) == "delete", F.lit("insert"))
         .otherwise(F.col(op_col)),
     )
+    is_upd = F.col(op_col) == "update"
+    for bc in [c for c in df.columns if c.startswith("before_")]:
+        cur = bc[len("before_") :]
+        if cur in df.columns:
+            swap_when = is_upd & F.col(bc).isNotNull()
+            out = out.withColumns(
+                {
+                    cur: F.when(swap_when, F.col(bc)).otherwise(F.col(cur)),
+                    bc: F.when(swap_when, F.col(cur)).otherwise(F.col(bc)),
+                }
+            )
+    return out
 
 
 def quarantine_null_keys(df: DataFrame, key_cols: list[str]) -> tuple[DataFrame, DataFrame]:

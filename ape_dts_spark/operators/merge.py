@@ -116,15 +116,18 @@ def merge_into(
         try:
             got = obs.get
             n_rows, n_del = int(got["rows"] or 0), int(got["deletes"] or 0)
+            out_rows = n_rows - n_del
         except Exception:
             # Observation is unsupported on some plan shapes (e.g. the batch
             # DataFrames foreachBatch hands out in streaming mode) — counts
-            # are informational, never correctness-bearing
-            n_rows, n_del = -1, 0
+            # are informational, never correctness-bearing.  All three stay
+            # the explicit -1 "unknown" sentinel; no arithmetic on sentinels
+            # (consumers like driver lineage/metrics skip negative values).
+            n_rows, n_del, out_rows = -1, -1, -1
         return MergeStats(
             affected_buckets=affected,
             source_rows=n_rows,
-            output_rows=n_rows - n_del,
+            output_rows=out_rows,
             deleted_rows=n_del,
             new_version=new_version,
             wall_ms=int((time.monotonic() - t0) * 1000),

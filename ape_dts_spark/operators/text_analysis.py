@@ -72,7 +72,9 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Marker-word language heuristic: count marker hits per language, take
-    the argmax (ties broken by language code order), 'und' if nothing hits."""
+    the argmax — ties broken by the lexicographically LATEST language code
+    (fr > es > en > de), 'und' if nothing hits.  The DuckDB oracle encodes
+    the same tie-break (its CASE tests codes in descending order)."""
     words = _words(F.col(text_col))
 
     def _hits(markers):
@@ -84,9 +86,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.struct(_hits(markers).alias("hits"), F.lit(lang).alias("lang"))
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
-    # argmax by (hits, lang-reversed) — array_max picks lexicographically
-    # largest struct: highest hits, then latest code; to prefer earliest code
-    # on ties we negate via sort+first instead
+    # argmax: descending struct sort = highest hits first, ties -> latest code
     arr = F.sort_array(F.array(*scores), asc=False)
     best = arr[0]
     pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))

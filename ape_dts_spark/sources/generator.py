@@ -197,15 +197,39 @@ def gen_changes(
     )
 
 
-def gen_ddl_events(spark: SparkSession, n_events: int, start_lsn: int = 1) -> DataFrame:
-    """3 schema-evolution events mid-stream (FIXTURES.md §3): add, rename, widen."""
-    rows = [
-        (start_lsn + int(n_events * 0.4), "add_column", '{"col":"fetch_status","type":"int"}'),
-        (start_lsn + int(n_events * 0.6), "rename_column", '{"from":"lang","to":"language"}'),
-        (
-            start_lsn + int(n_events * 0.8),
-            "widen_column",
-            '{"col":"fetch_status","to_type":"long"}',
-        ),
-    ]
+def gen_ddl_events(
+    spark: SparkSession, n_events: int, start_lsn: int = 1, kinds: str = "basic"
+) -> DataFrame:
+    """Schema-evolution events mid-stream (FIXTURES.md §3).
+
+    kinds="basic": add, rename, widen (the round-1 fixture).
+    kinds="full":  the reference's common replayable set (ddl_type.rs:7-36 /
+    ddl_test/src_test.sql): add_column, rename_column, truncate_table,
+    widen_column, drop_column — interleaved so each fires in a different
+    micro-batch with live traffic on both sides.
+    """
+    if kinds == "basic":
+        rows = [
+            (start_lsn + int(n_events * 0.4), "add_column", '{"col":"fetch_status","type":"int"}'),
+            (start_lsn + int(n_events * 0.6), "rename_column", '{"from":"lang","to":"language"}'),
+            (
+                start_lsn + int(n_events * 0.8),
+                "widen_column",
+                '{"col":"fetch_status","to_type":"long"}',
+            ),
+        ]
+    elif kinds == "full":
+        rows = [
+            (start_lsn + int(n_events * 0.3), "add_column", '{"col":"fetch_status","type":"int"}'),
+            (start_lsn + int(n_events * 0.45), "rename_column", '{"from":"lang","to":"language"}'),
+            (start_lsn + int(n_events * 0.55), "truncate_table", "{}"),
+            (
+                start_lsn + int(n_events * 0.7),
+                "widen_column",
+                '{"col":"fetch_status","to_type":"long"}',
+            ),
+            (start_lsn + int(n_events * 0.85), "drop_column", '{"col":"warc_ts"}'),
+        ]
+    else:
+        raise ValueError(f"unknown kinds {kinds!r}")
     return spark.createDataFrame(rows, "lsn long, ddl_type string, payload string")

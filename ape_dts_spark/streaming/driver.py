@@ -213,8 +213,8 @@ class CdcEngine:
         )
         return sorted(({**r.asDict()} for r in rows), key=lambda d: d["lsn"])
 
-    def committed_hwm(self) -> int:
-        """Resume position = last committed checkpoint (reference
+    def committed_hwm(self) -> tuple[int, int]:
+        """(hwm_lsn, batch_id) of the last committed checkpoint (reference
         checkpoint_position semantics: resume from last *committed* batch)."""
         df = self.checkpoints.read(self.spark).filter(F.col("job_id") == self.cfg.job_id)
         row = df.agg(F.max("hwm_lsn").alias("h"), F.max("batch_id").alias("b")).collect()[0]
@@ -344,7 +344,12 @@ class CdcEngine:
 
     def _apply_ddl(self, ddl: dict) -> None:
         """Apply a schema-evolution event; idempotent so crash replay is safe
-        (reference refresh_meta after DDL, mysql_sinker.rs:123-128)."""
+        (reference refresh_meta after DDL, mysql_sinker.rs:123-128).
+
+        Covered kinds (reference ddl_type.rs:7-36): add/rename/widen/drop
+        column plus truncate_table on the replicated table.  Table-level
+        create/drop/rename live on lake.catalog.Catalog (a change stream is
+        bound to one table; table lifecycle is the task runner's layer)."""
         p = json.loads(ddl["payload"])
         t = ddl["ddl_type"]
         try:
@@ -354,12 +359,23 @@ class CdcEngine:
                 self.pages.rename_column(p["from"], p["to"])
             elif t == "widen_column":
                 self.pages.widen_column(p["col"], p["to_type"])
+            elif t == "drop_column":
+                self.pages.drop_column(p["col"])
+            elif t == "truncate_table":
+                # naturally idempotent: re-truncating after a crash replay
+                # re-commits the same (empty) visible state
+                self.pages.truncate()
             else:
                 raise ValueError(f"unknown ddl_type {t}")
         except ValueError as e:
             msg = str(e)
-            if "already exists" in msg or f"no column {p.get('from', '')}" == msg:
-                return  # already applied before a crash — replay no-op
+            already_applied = (
+                "already exists" in msg  # add/rename replay
+                or msg == f"no column {p.get('from', '')}"  # rename replay
+                or (t == "drop_column" and msg == f"no column {p.get('col', '')}")
+            )
+            if already_applied:
+                return
             raise
 
     def _write_lineage(self, batch_id, lo, hi, stats, input_records, t0) -> None:

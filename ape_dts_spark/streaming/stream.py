@@ -12,9 +12,13 @@ batch driver (and as the reference's ack-after-commit protocol,
 pg_cdc_extractor.rs:230-262).
 
 Constraints of the streaming flavor (v1): no mid-stream DDL barriers (run
-the batch driver for schema-evolving replays); event-time ordering inside a
-micro-batch is handled by the LWW dedup, and cross-batch ordering by
-last_lsn — late files only ever lose the LWW race, never corrupt.
+the batch driver for schema-evolving replays), and MOR merge mode only.
+COW would be unsafe here: the file source gives no LSN-slice ordering, and
+the COW path drops deleted keys without tombstones — a late file carrying a
+lower-lsn upsert for an already-deleted key would resurrect it.  MOR keeps
+delete markers (and compaction retains tombstones), so late arrivals only
+ever lose the LWW race, never corrupt.  The batch CdcEngine's ordered LSN
+slices are what make COW safe there.
 """
 
 from __future__ import annotations
@@ -42,6 +46,12 @@ def start_stream(
     """
     if cfg.ddl_path:
         raise ValueError("streaming mode does not support DDL barriers; use CdcEngine")
+    if cfg.merge_mode != "mor":
+        raise ValueError(
+            "streaming mode requires merge_mode='mor' (tombstone-retaining): "
+            "without LSN-sliced batches, COW could resurrect deleted keys from "
+            "late files; use CdcEngine for cow replays"
+        )
     pages = LakeTable.load(cfg.pages_path)
     schema = spark.read.parquet(cfg.changes_path).schema
     reader = spark.readStream.schema(schema)

@@ -14,6 +14,9 @@ with exactly the engine's documented semantics:
 * rename_column: the stored column is renamed; later events carrying the
   old source-column name keep routing into it;
 * widen_column: values unchanged (representation-only);
+* drop_column: the column disappears from the table; later events still
+  carrying it contribute nothing;
+* truncate_table: all rows removed, schema preserved;
 * text = extract_text(html), byte-identical by construction.
 """
 
@@ -68,6 +71,13 @@ def oracle_replay(
                     r[p["to"]] = r.pop(p["from"])
         elif d["ddl_type"] == "widen_column":
             pass
+        elif d["ddl_type"] == "drop_column":
+            cols = [c for c in cols if c != p["col"]]
+            for src, dst in list(route.items()):
+                if dst == p["col"]:
+                    del route[src]  # later events carrying it route nowhere
+        elif d["ddl_type"] == "truncate_table":
+            state.clear()
         else:
             raise ValueError(d["ddl_type"])
 

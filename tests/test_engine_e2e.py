@@ -148,3 +148,40 @@ def test_event_filter_excludes_deletes(spark, fixture_dir, tmp_path):
     got = _pages_pd(spark, t)
     want = _oracle_pd(spark, fixture_dir, with_ddl=False, do_events={"insert", "update"})
     _assert_tables_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def full_ddl_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cdc_full_ddl")
+    gen_changes(spark, N_EVENTS, N_SEED, seed=SEED).write.parquet(str(d / "changes"))
+    gen_ddl_events(spark, N_EVENTS, kinds="full").write.parquet(str(d / "ddl"))
+    return d
+
+
+def test_full_ddl_set_matches_oracle(spark, full_ddl_dir, tmp_path):
+    """Extended DDL replay (reference ddl_type.rs:7-36 / ddl_test/src_test.sql):
+    add_column, rename_column, truncate_table, widen_column, drop_column —
+    each fires mid-stream with live traffic before and after."""
+    t = _seed_pages(spark, tmp_path / "pages")
+    _, summary = _run(spark, full_ddl_dir, t.path)
+    got = _pages_pd(spark, t)
+    want = _oracle_pd(spark, full_ddl_dir)
+    # schema after the full DDL set: evolved + truncated + dropped
+    assert "fetch_status" in got.columns and "language" in got.columns
+    assert "lang" not in got.columns and "warc_ts" not in got.columns
+    # truncate wiped the seed: every surviving row postdates it
+    assert (got["last_lsn"] > int(N_EVENTS * 0.55)).all()
+    _assert_tables_equal(got, want)
+
+
+@pytest.mark.parametrize("stage", ["post_merge", "post_checkpoint"])
+def test_full_ddl_crash_replay_converges(spark, full_ddl_dir, tmp_path, stage):
+    """Crash right around the truncate barrier: the replayed truncate and
+    drop_column must be no-ops, and the final state still equals the oracle."""
+    t = _seed_pages(spark, tmp_path / f"pages_{stage}")
+    # batch 3 is the truncate-barrier batch at width 250 over 1200 lsns
+    with pytest.raises(RuntimeError, match="injected crash"):
+        _run(spark, full_ddl_dir, t.path, crash_hook=_CrashAt(stage, 3))
+    _, summary = _run(spark, full_ddl_dir, t.path)
+    assert summary["batches"] > 0
+    _assert_tables_equal(_pages_pd(spark, t), _oracle_pd(spark, full_ddl_dir))

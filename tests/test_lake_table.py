@@ -108,3 +108,51 @@ def test_unbucketed_table(spark, tmp_path):
     t.append(spark.createDataFrame([(2, "y")], "a long, b string"))
     assert t.read(spark).count() == 2
     assert os.path.isdir(os.path.join(t.path, "_meta"))
+
+
+def test_drop_column_and_truncate(spark, tmp_path):
+    t = _mk(tmp_path)
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"))
+    t.drop_column("v")
+    assert t.schema.names() == ["k"]
+    assert sorted(r["k"] for r in t.read(spark).collect()) == ["a", "b"]
+    # re-adding the same name mints a new field id: old values never resurrect
+    t.add_column("v", "int")
+    assert [r["v"] for r in t.read(spark).collect()] == [None, None]
+    with pytest.raises(ValueError, match="cannot drop bucket key"):
+        t.drop_column("k")
+    v_before = t.version
+    t.truncate()
+    assert t.version == v_before + 1
+    assert t.read(spark).count() == 0
+    assert t.schema.names() == ["k", "v"]  # schema survives truncate
+    # time travel still sees pre-truncate data
+    assert t.read_version(spark, v_before).count() == 2
+
+
+def test_catalog_table_lifecycle(spark, tmp_path):
+    from ape_dts_spark.lake.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "db"))
+    cat.create_table("t1", COLS, bucket_key="k", bucket_count=2)
+    cat.table("t1").append(spark.createDataFrame([("a", 1)], "k string, v int"))
+    assert cat.list_tables() == ["t1"]
+    # idempotent create (crash replay)
+    t1b = cat.create_table("t1", COLS, if_not_exists=True)
+    assert t1b.read(spark).count() == 1
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_table("t1", COLS)
+    # rename: atomic, data survives, replay-idempotent
+    cat.rename_table("t1", "t2")
+    assert cat.list_tables() == ["t2"]
+    assert cat.table("t2").read(spark).count() == 1
+    assert cat.rename_table("t1", "t2", if_exists=True) is False  # already applied
+    # truncate through the catalog
+    cat.truncate_table("t2")
+    assert cat.table("t2").read(spark).count() == 0
+    # drop: gone, replay-idempotent
+    assert cat.drop_table("t2") is True
+    assert cat.list_tables() == []
+    assert cat.drop_table("t2", if_exists=True) is False
+    with pytest.raises(ValueError, match="no table"):
+        cat.drop_table("t2")

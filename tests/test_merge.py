@@ -111,6 +111,15 @@ def test_reverse_ops(spark):
     )
     got = {r["url"]: r["op"] for r in reverse_ops(df).collect()}
     assert got == {"a": "delete", "b": "insert", "c": "update"}
+    # reversed key-changing update points back at the old key (image swap)
+    df2 = spark.createDataFrame(
+        [("new", "old", "update"), ("x", None, "update"), ("y", "z", "insert")],
+        "url string, before_url string, op string",
+    )
+    rows = {r["op"] + ":" + str(r["before_url"]): r["url"] for r in reverse_ops(df2).collect()}
+    assert rows["update:new"] == "old"  # swapped
+    assert rows["update:None"] == "x"  # no before image: unchanged
+    assert rows["delete:z"] == "y"  # non-update: key untouched
 
 
 def test_two_phase_dedup_equals_single_phase(spark):
