@@ -203,6 +203,23 @@ def q_cdc_check(spark, sf_dir):
     return out.filter(F.col("check_result") != "match").select("o_orderkey", "check_result")
 
 
+def q_cdc_check_sampled(spark, sf_dir):
+    """Sampled consistency check (mysql_snapshot_extractor.rs:47,200
+    sample_interval): deterministic md5 1-in-10 key sample on both sides,
+    then the same miss/diff classification."""
+    from ape_dts_spark.operators.checker import check
+
+    src = _t(spark, sf_dir, "orders")
+    tgt = src.filter(F.pmod(F.col("o_orderkey"), F.lit(97)) != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.pmod(F.col("o_orderkey"), F.lit(101)) == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    out = check(src, tgt, ["o_orderkey"], ["o_totalprice"], sample_interval=10)
+    return out.select("o_orderkey", "check_result")
+
+
 def q_cdc_revise_subset(spark, sf_dir):
     """Revise: left-semi re-extraction of miss/diff keys
     (mysql_check_extractor.rs:50-60)."""
@@ -528,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_delete_reinsert": q_cdc_delete_reinsert,
         "cdc_salted_partition": q_cdc_salted_partition,
         "cdc_check": q_cdc_check,
+        "cdc_check_sampled": q_cdc_check_sampled,
         "cdc_revise_subset": q_cdc_revise_subset,
         "cdc_snapshot_chunks": q_cdc_snapshot_chunks,
         "cdc_change_feed": q_cdc_change_feed,
@@ -855,6 +873,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE t.o_orderkey IS NULL
                OR s.o_totalprice IS DISTINCT FROM t.o_totalprice
                OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+        """,
+        "cdc_check_sampled": """
+            WITH sampled AS (
+              SELECT * FROM orders
+              WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT
+                    % 10 = 0
+            ), tgt AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS o_totalprice
+              FROM sampled WHERE o_orderkey % 97 <> 0
+            )
+            SELECT s.o_orderkey AS o_orderkey,
+                   CASE WHEN t.o_orderkey IS NULL THEN 'miss'
+                        WHEN s.o_totalprice IS DISTINCT FROM t.o_totalprice THEN 'diff'
+                        ELSE 'match' END AS check_result
+            FROM sampled s LEFT JOIN tgt t USING (o_orderkey)
         """,
         "cdc_revise_subset": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -33,6 +33,11 @@ user's mental model maps 1:1:
     checkpoints_path=/data/checkpoints
     lineage_path=/data/lineage
 
+    [processor]
+    transform=my_pkg.hooks:clean_rows   ; Lua-processor analog: vectorized
+                                        ; DataFrame->DataFrame user hook
+                                        ; (row drops = .filter inside it)
+
     [parallelizer]
     parallel_type=rdb_merge             ; kept for parity; Spark plans the lanes
     salt=16                             ; hot-key salting fan-out
@@ -63,6 +68,7 @@ def load_task_config(path_or_text: str, is_text: bool = False) -> EngineConfig:
     snk = cp["sinker"] if cp.has_section("sinker") else {}
     ppl = cp["pipeline"] if cp.has_section("pipeline") else {}
     par = cp["parallelizer"] if cp.has_section("parallelizer") else {}
+    prc = cp["processor"] if cp.has_section("processor") else {}
 
     change_filter = ChangeFilter(
         do_events=_split(flt.get("do_events")) or ["insert", "update", "delete"],
@@ -89,6 +95,8 @@ def load_task_config(path_or_text: str, is_text: bool = False) -> EngineConfig:
         filter=change_filter,
         router=Router(col_map=col_map),
         salt=int(par.get("salt", "16")),
+        files_per_bucket=int(par.get("files_per_bucket", "1")),
         merge_mode=snk.get("merge_mode", "mor"),
         compact_ratio=float(snk.get("compact_ratio", "0.5")),
+        transform=prc.get("transform") or None,
     )

@@ -34,20 +34,35 @@ def change_feed_records(
     schema_name: str = "web",
     tb_name: str = "pages",
     payload_cols: list[str] | None = None,
+    origin: str | None = None,
 ) -> DataFrame:
-    """Keyed change records: (key, topic, lsn, value_json).
+    """Keyed change records: (key, topic, lsn, value_json[, origin]).
 
     value_json carries {schema, tb, op, lsn, after:{...}} — after is null
     for deletes (reference kafka_sinker.rs Avro schema: before/after/
     operation + identity fields; key = order-col value, avro_converter.rs:57-76).
+
+    `origin` is the SINK-SIDE data marker (reference dt-connector/src/
+    data_marker.rs + mysql_sinker.rs:249-273): a node participating in
+    two-way sync stamps every record it emits with its own node id, so the
+    peer's extractor (ChangeFilter.do_origins) can drop the events that
+    originated from itself — the write half of loop prevention.  When the
+    input already carries an `origin` column (relayed events), it is
+    preserved unless overridden.
     """
     payload_cols = payload_cols or [
-        c for c in df.columns if c not in (op_col, lsn_col, "_bucket")
+        c for c in df.columns if c not in (op_col, lsn_col, "origin", "_bucket")
     ]
     after = F.when(
         F.col(op_col) != "delete",
         F.to_json(F.struct(*[F.col(c) for c in payload_cols])),
     )
+    if origin is not None:
+        origin_col = F.lit(origin)
+    elif "origin" in df.columns:
+        origin_col = F.col("origin").cast("string")
+    else:
+        origin_col = F.lit(None).cast("string")
     value = F.to_json(
         F.struct(
             F.lit(schema_name).alias("schema"),
@@ -55,6 +70,7 @@ def change_feed_records(
             F.col(op_col).alias("operation"),
             F.col(lsn_col).alias("position"),
             after.alias("after"),
+            origin_col.alias("origin"),
         )
     )
     return df.select(
@@ -62,16 +78,32 @@ def change_feed_records(
         F.lit(f"{schema_name}.{tb_name}").alias("topic"),
         F.col(lsn_col).alias("lsn"),
         value.alias("value"),
+        origin_col.alias("origin"),
     )
 
 
-def write_change_feed(records: DataFrame, path: str, mode: str = "append") -> None:
+def write_change_feed(
+    records: DataFrame, path: str, mode: str = "append", lanes_per_topic: int = 16
+) -> None:
     """Directory change feed: one parquet dir per topic, lsn-ordered within
     files.  At-least-once append — consumers dedup on (key, lsn), the same
-    contract a Kafka topic gives (topic routing = partitionBy)."""
-    records.repartition("topic").sortWithinPartitions("lsn").write.mode(
-        mode
-    ).partitionBy("topic").parquet(path)
+    contract a Kafka topic gives (topic routing = partitionBy).
+
+    Partitioning is (topic, hash(key) % lanes_per_topic) — the Kafka
+    topic-partition model: a topic is written by `lanes_per_topic` parallel
+    tasks, each lane key-complete and lsn-sorted (per-key order preserved,
+    exactly Kafka's guarantee).  A plain repartition("topic") would
+    serialize the whole feed into one task per topic."""
+    lane = F.pmod(F.xxhash64(F.col("key")), F.lit(lanes_per_topic))
+    (
+        records.withColumn("_lane", lane)
+        .repartition(F.col("topic"), F.col("_lane"))
+        .sortWithinPartitions("lsn")
+        .drop("_lane")
+        .write.mode(mode)
+        .partitionBy("topic")
+        .parquet(path)
+    )
 
 
 def write_kafka(records: DataFrame, bootstrap_servers: str, **options) -> None:

@@ -19,11 +19,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def sample_predicate(key_cols: list[str], sample_interval: int):
+    """Deterministic 1-in-N key sample: md5 of the concatenated key, first
+    12 hex chars as an integer, mod N == 0.  A pure function of the key, so
+    source and target select the SAME keys (miss/diff classification stays
+    exact within the sample), and md5-based so an external SQL oracle
+    reproduces the choice bit-for-bit."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in key_cols])), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(sample_interval)) == 0
+
+
 def check(
     source: DataFrame,
     target: DataFrame,
     key_cols: list[str],
     compare_cols: list[str] | None = None,
+    sample_interval: int = 1,
 ) -> DataFrame:
     """Full-outer-join consistency check.
 
@@ -32,9 +49,18 @@ def check(
       'extra' (on target, absent in source)
     plus `diff_cols` — the list of mismatching column names (reference emits
     per-column diff detail in its diff log).
+
+    sample_interval > 1 checks a deterministic 1-in-N key sample on BOTH
+    sides (reference mysql_snapshot_extractor.rs:47,200 `sample_interval`)
+    — checking a 10^10-row table end-to-end is not viable; a keyed sample
+    bounds the join while keeping miss/diff semantics exact within it.
     """
     if compare_cols is None:
         compare_cols = [c for c in source.columns if c in set(target.columns) and c not in key_cols]
+    if sample_interval > 1:
+        pred = sample_predicate(key_cols, sample_interval)
+        source = source.filter(pred)
+        target = target.filter(pred)
     s = source.select(
         *[F.col(k).alias(f"_k_{k}") for k in key_cols],
         *[F.col(c).alias(f"_s_{c}") for c in compare_cols],

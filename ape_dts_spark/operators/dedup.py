@@ -58,6 +58,7 @@ def lww_dedup_bucket_aligned(
     order_col: str = "lsn",
     bucket_col: str = "_bucket",
     tiebreak_cols: list[str] | None = None,
+    key_salt: int = 1,
 ) -> DataFrame:
     """LWW dedup that shares its shuffle with the sink's bucket layout.
 
@@ -70,23 +71,36 @@ def lww_dedup_bucket_aligned(
     Because the output's physical partitioning is hashpartitioning(bucket),
     the subsequent bucket-partitioned delta write needs NO further exchange
     — the whole merge prep is ONE shuffle (vs window-on-key + repartition-
-    on-bucket = two to three).  Parallelism = bucket_count, which at real
-    scale (>= 4x executors) is the same clustering Iceberg's
-    storage-partitioned writes use.
+    on-bucket = two to three).
+
+    ``key_salt`` raises parallelism beyond bucket_count without changing
+    the table layout: the window partitions by (bucket, hash(key) % S), so
+    every key's rows still share a lane (dedup stays exact) but each bucket
+    splits into S lanes — bucket_count x S concurrent tasks for the dedup /
+    downstream UDF / write, and S files per bucket at the sink (the
+    files-per-bucket knob: at 10^10 rows you want both a bounded bucket
+    count for the layout AND write parallelism ~ executor count).
     """
     order_exprs = (
         [F.col(k).asc() for k in key_cols]
         + [F.col(order_col).desc()]
         + [F.col(c).desc() for c in (tiebreak_cols or [])]
     )
-    w = Window.partitionBy(bucket_col).orderBy(*order_exprs)
+    part_cols = [bucket_col]
+    if key_salt > 1:
+        df = df.withColumn(
+            "_ksalt", F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(key_salt))
+        )
+        part_cols.append("_ksalt")
+    w = Window.partitionBy(*part_cols).orderBy(*order_exprs)
     key_struct = F.struct(*[F.col(k) for k in key_cols])
     prev = F.lag(key_struct).over(w)
-    return (
+    out = (
         df.withColumn("_is_first", prev.isNull() | (prev != key_struct))
         .filter(F.col("_is_first"))
         .drop("_is_first")
     )
+    return out.drop("_ksalt") if key_salt > 1 else out
 
 
 def split_updates(df: DataFrame, op_col: str = "op") -> DataFrame:

@@ -20,6 +20,11 @@ def get_spark(
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cores}]"
     shuffle_partitions = shuffle_partitions or cores
+    # GC worker threads default to the HOST cpu count; under CPU-affinity
+    # pinning (scaling cells) that is a thread storm on few cores — size
+    # them to the actual allowance.
+    allowed = len(os.sched_getaffinity(0))
+    gc_threads = max(2, min(allowed, 16))
     # Each Python UDF worker spawns its own OpenMP/Arrow thread pool sized to
     # ALL host cpus; N workers x N threads thrashes the box and inverts core
     # scaling (measured: +130% pandas-UDF throughput at 16 cores with pools
@@ -45,6 +50,10 @@ def get_spark(
         # 32 concurrent tasks over html-heavy rows need real heap headroom —
         # an 8g heap GC-thrashes at local[32] and inverts core scaling
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ParallelGCThreads={gc_threads} -XX:ConcGCThreads={max(1, gc_threads // 4)}",
+        )
         # smaller splits -> scan parallelism survives small per-batch slices
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

@@ -84,10 +84,22 @@ class EngineConfig:
     router: Router = field(default_factory=Router)
     salt: int = 16
     extract_text: bool = True
+    # pluggable user transform (the reference's Lua processor hook,
+    # dt-pipeline/src/lua_processor.rs:14-53): a callable DataFrame ->
+    # DataFrame, or "module:function" resolved at engine start.  Runs after
+    # filter/route, before the key-change split — vectorized (whole-batch),
+    # and row drops (the Lua `row_type=""` idiom) are just a .filter inside
+    # the hook.  None disables.
+    transform: object | None = None
     # "bucket_aligned": dedup shares its single shuffle with the sink's
     # bucket layout (the scale path); "two_phase": salted window dedup
     # (kept for hot-key-burst-heavy streams where map-side pre-reduce wins)
     dedup_strategy: str = "bucket_aligned"
+    # write-parallelism multiplier: bucket_count x files_per_bucket concurrent
+    # lanes through dedup/extract/delta-write (keys stay whole per lane; the
+    # sink gets this many files per bucket per batch).  Raise when executor
+    # count exceeds the table's bucket_count.
+    files_per_bucket: int = 1
     merge_mode: str = "mor"  # "mor" (O(batch) delta append) | "cow" (bucket rewrite)
     # compact a bucket when its delta bytes exceed this fraction of the
     # bucket's total bytes; <= 0 disables auto-compaction
@@ -137,12 +149,29 @@ def historical_names(pages: LakeTable) -> dict[str, list[str]]:
     return hist
 
 
+def resolve_transform(spec) -> object | None:
+    """Resolve a transform hook: a callable passes through; "module:function"
+    is imported (the config-file spelling, reference [processor] section)."""
+    if spec is None or callable(spec):
+        return spec
+    if isinstance(spec, str) and ":" in spec:
+        import importlib
+
+        mod, _, fn = spec.partition(":")
+        return getattr(importlib.import_module(mod), fn)
+    raise ValueError(f"transform must be callable or 'module:function', got {spec!r}")
+
+
 def prepare_changes(pages: LakeTable, df: DataFrame, cfg: "EngineConfig") -> DataFrame:
     """The shared per-batch transform chain (batch driver + streaming path):
-    filter -> route -> key-change split -> NULL-key quarantine -> schema
-    projection (rename-aware) -> salted LWW dedup -> vectorized extraction."""
+    filter -> route -> user transform hook -> key-change split -> NULL-key
+    quarantine -> schema projection (rename-aware) -> salted LWW dedup ->
+    vectorized extraction."""
     df = cfg.filter.apply(df)
     df = cfg.router.route_cols(df)
+    hook = resolve_transform(cfg.transform)
+    if hook is not None:
+        df = hook(df)
     df = split_key_change_updates(df, key_col=cfg.key_col)
     df, _quarantined = quarantine_null_keys(df, [cfg.key_col])
 
@@ -165,7 +194,9 @@ def prepare_changes(pages: LakeTable, df: DataFrame, cfg: "EngineConfig") -> Dat
     if cfg.dedup_strategy == "bucket_aligned" and pages.manifest.bucket_key == cfg.key_col:
         # single shuffle, shared with the delta write's bucket layout
         projected = projected.withColumn(BUCKET_COL, pages.bucket_expr())
-        deduped = lww_dedup_bucket_aligned(projected, [cfg.key_col], "lsn", BUCKET_COL)
+        deduped = lww_dedup_bucket_aligned(
+            projected, [cfg.key_col], "lsn", BUCKET_COL, key_salt=cfg.files_per_bucket
+        )
     else:
         deduped = lww_dedup(projected, [cfg.key_col], "lsn", two_phase=True, salt=cfg.salt)
     if cfg.extract_text and "html" in projected.columns:
@@ -424,6 +455,21 @@ class CdcEngine:
                 )
             ]
         )
+
+    def heartbeat(self) -> dict:
+        """Source-side liveness row (reference mysql_cdc_extractor.rs:425-533:
+        the extractor upserts a heartbeat-table row so the binlog advances and
+        lag is measurable even when the source is idle).  Here: re-commit the
+        current high-watermark as a fresh checkpoint row with a new
+        `committed_at`, so a monitor can distinguish "idle stream, engine
+        alive" (recent committed_at, unchanged hwm) from "dead pipeline"
+        (stale committed_at) and measure lag-when-idle.  Driver-side pyarrow
+        append — no Spark job."""
+        hwm, batch_id = self.committed_hwm()
+        now = datetime.now(timezone.utc)
+        self._write_checkpoint(batch_id, hwm)
+        self.metrics["heartbeats"] = self.metrics.get("heartbeats", 0) + 1
+        return {"hwm": hwm, "batch_id": batch_id, "at": now.isoformat()}
 
     def _hook(self, stage: str, batch_id: int) -> None:
         if self.cfg.crash_hook is not None:

@@ -16,6 +16,13 @@ DDL barriers — i.e. the same shape the north rule measures at 10^10 scale.
 input and report throughput at both plus efficiency = speedup/4 — the
 sandbox stand-in for the N vs 4N executor criterion (see BENCH/BASELINE.md;
 scripts/scaling_probe.py is the full interleaved-reps version).
+
+Each scaling level runs in its OWN subprocess, CPU-affinity-pinned to
+exactly that many cores before the JVM starts: (a) a JVM reused across
+SparkSessions keeps its launch-time affinity mask, so in-process level
+loops silently run every later level on the first level's cores; (b)
+without pinning, local[N]'s Python UDF workers overflow onto extra host
+cores and inflate the small level.  Both effects corrupt the comparison.
 """
 
 from __future__ import annotations
@@ -66,7 +73,10 @@ def prepare_input(spark, workdir: str, n_seed: int, n_events: int) -> dict:
     return {"changes": changes_path, "ddl": ddl_path}
 
 
-def run_cdc(spark, workdir: str, paths: dict, n_seed: int, tag: str, bucket_count: int = 64) -> dict:
+def run_cdc(
+    spark, workdir: str, paths: dict, n_seed: int, tag: str,
+    bucket_count: int = 64, extract: bool = True,
+) -> dict:
     pages_path = os.path.join(workdir, f"pages_{tag}")
     for suffix in ("", "_checkpoints", "_lineage"):
         shutil.rmtree(pages_path + suffix, ignore_errors=True)
@@ -81,6 +91,7 @@ def run_cdc(spark, workdir: str, paths: dict, n_seed: int, tag: str, bucket_coun
         changes_path=paths["changes"],
         ddl_path=paths["ddl"],
         batch_lsn_width=max(n_seed // 2, 1000),
+        extract_text=extract,
     )
     eng = CdcEngine(spark, cfg)
     t0 = time.monotonic()
@@ -110,9 +121,23 @@ def run_queries(spark, sf_dir: str) -> dict:
     return out
 
 
+def scaling_cell(cores: int) -> None:
+    """One pinned scaling level (child process of --scaling)."""
+    os.sched_setaffinity(0, set(range(cores)))
+    workdir = os.environ["BENCH_WORKDIR"]
+    n_seed = int(os.environ["BENCH_SEED_N"])
+    paths = {"changes": os.path.join(workdir, "changes"), "ddl": os.path.join(workdir, "ddl")}
+    s = get_spark(f"bench-{cores}", master=f"local[{cores}]", shuffle_partitions=64)
+    print(json.dumps(run_cdc(s, workdir, paths, n_seed, tag=f"c{cores}")))
+    s.stop()
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--scaling-cell" in sys.argv:
+        scaling_cell(int(sys.argv[sys.argv.index("--scaling-cell") + 1]))
+        return
     scaling = "--scaling" in sys.argv
     workdir = os.environ.get("BENCH_WORKDIR") or tempfile.mkdtemp(prefix="apedts-bench-")
 
@@ -122,21 +147,31 @@ def main():
         # scale up so per-batch compute dominates fixed job overhead — the
         # efficiency criterion targets the asymptotic (cluster) regime
         mult = int(os.environ.get("BENCH_SCALE_MULT", "10"))
-        n_seed, n_events = n_ev_table * mult // 2, n_ev_table * mult
     else:
-        n_seed, n_events = n_ev_table, 2 * n_ev_table
+        # steady state must dominate the headline number too: at 2x|events|
+        # the 5-batch fixed overhead (job scheduling, commit, footers) was
+        # ~half the wall and the artifact measured the constant, not the
+        # engine (round-1 verdict).  5x => ~1M events at sf0.1.
+        mult = int(os.environ.get("BENCH_EVENTS_MULT", "5"))
+    n_seed, n_events = n_ev_table * mult // 2, n_ev_table * mult
     paths = prepare_input(spark, workdir, n_seed, n_events)
 
     if scaling:
         spark.stop()
+        import subprocess
+
         # 4 vs 16: within this host's PHYSICAL cores (8->32 crosses the SMT
-        # boundary where the host itself caps at ~0.69; see BASELINE.md)
+        # boundary where the host itself caps at ~0.69; see BASELINE.md).
+        # One pinned subprocess per level (see module docstring).
         levels = [int(x) for x in os.environ.get("BENCH_LEVELS", "4,16").split(",")]
         results = {}
         for cores in levels:
-            s = get_spark(f"bench-{cores}", master=f"local[{cores}]", shuffle_partitions=64)
-            results[cores] = run_cdc(s, workdir, paths, n_seed, tag=f"c{cores}")
-            s.stop()
+            env = dict(os.environ, BENCH_WORKDIR=workdir, BENCH_SEED_N=str(n_seed))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-cell", str(cores)],
+                check=True, capture_output=True, text=True, env=env,
+            ).stdout.strip().splitlines()[-1]
+            results[cores] = json.loads(out)
         lo, hi = levels
         eff = (results[hi]["events_per_sec"] / results[lo]["events_per_sec"]) / (hi / lo)
         print(
@@ -153,6 +188,9 @@ def main():
         return
 
     cdc = run_cdc(spark, workdir, paths, n_seed, tag=f"c{cpus}")
+    # JVM-only rate (no per-event text extraction — the reference's own
+    # workload shape does none, so this is the apples-to-apples RPS row)
+    cdc_noex = run_cdc(spark, workdir, paths, n_seed, tag=f"nx{cpus}", extract=False)
     queries = run_queries(spark, sf_dir)
     print(
         json.dumps(
@@ -164,6 +202,7 @@ def main():
                 "sf": sf_dir,
                 "events": cdc["events"],
                 "events_per_sec": cdc["events_per_sec"],
+                "events_per_sec_noextract": cdc_noex["events_per_sec"],
                 "mb_per_sec": cdc["mb_per_sec"],
                 "batches": cdc["batches"],
                 "final_rows": cdc["final_rows"],

@@ -53,6 +53,15 @@ def prepare(workdir, n_seed, n_events):
 
 
 def run_cell(workdir, cores, extract):
+    # Pin THIS subprocess (and therefore the JVM + forked Python UDF workers
+    # it is about to launch) to exactly `cores` CPUs.  Without pinning,
+    # local[N] caps the JVM task threads but the Python workers overflow
+    # onto extra host cores, inflating the small level and understating
+    # efficiency.  Must happen before the JVM starts; note that a JVM
+    # re-used across SparkSessions in ONE process keeps its launch-time
+    # mask, which is why each cell is a fresh subprocess.
+    if os.environ.get("PROBE_PIN", "1") == "1":
+        os.sched_setaffinity(0, set(range(cores)))
     from pyspark.sql import functions as F
 
     from ape_dts_spark.functions.extract_text import extract_text_udf
@@ -151,7 +160,9 @@ def orchestrate(workdir, n_seed, n_events):
     results: dict = {}
     all_runs: dict = {}
     for rep in range(reps):
-        for extract in (1, 0):
+        for extract in tuple(
+            int(x) for x in os.environ.get("PROBE_EXTRACTS", "1,0").split(",")
+        ):
             for cores in levels:
                 c0 = canary()
                 out = subprocess.run(
@@ -168,7 +179,9 @@ def orchestrate(workdir, n_seed, n_events):
                       f"{r['events_per_sec']} ev/s ({r['wall_sec']}s) canary={c0}M", flush=True)
     lo, hi = levels[0], levels[-1]
     summary = {}
-    for extract in (0, 1):
+    for extract in tuple(
+        int(x) for x in os.environ.get("PROBE_EXTRACTS", "1,0").split(",")
+    ):
         cells = {}
         for c in levels:
             evs = sorted(all_runs[(extract, c)])

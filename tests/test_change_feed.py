@@ -60,3 +60,49 @@ def test_render_sql_replace_delete_and_quoting(spark):
     assert out[1] == "REPLACE INTO `pages` (`url`, `lang`) VALUES ('u''1', 'x');"
     assert out[2] == "DELETE FROM `pages` WHERE `url` = 'u2' LIMIT 1;"
     assert out[3] == "REPLACE INTO `pages` (`url`, `lang`) VALUES ('u3', 'it''s');"
+
+
+def test_data_marker_two_way_loop_prevention(spark, tmp_path):
+    """Sink-side data marker round-trip (data_marker.rs + mysql_sinker.rs:
+    249-273): node A stamps its feed with its own origin; a peer consuming
+    the feed with do_origins excluding A drops everything A emitted."""
+    from ape_dts_spark.operators.filters import ChangeFilter
+
+    ch = gen_changes(spark, 100, 30, seed=9).select("lsn", "url", "op", "lang")
+    rec = change_feed_records(ch, key_col="url", payload_cols=["url", "lang"], origin="node_a")
+    feed = str(tmp_path / "feed")
+    write_change_feed(rec, feed)
+    back = spark.read.parquet(feed)
+    assert back.count() == 100
+    # every record carries the marker, both as a column and inside the value
+    assert back.filter(F.col("origin") != "node_a").count() == 0
+    assert json.loads(back.limit(1).collect()[0]["value"])["origin"] == "node_a"
+    # the peer (node_b) excludes node_a-originated events -> no loop
+    as_peer_sees = ChangeFilter(do_origins=["node_b"]).apply(back)
+    assert as_peer_sees.count() == 0
+    # while an external consumer that wants node_a's events keeps them all
+    assert ChangeFilter(do_origins=["node_a"]).apply(back).count() == 100
+
+
+def test_heartbeat_liveness_row(spark, tmp_path):
+    from ape_dts_spark.lake.table import LakeTable
+    from ape_dts_spark.sources.generator import PAGES_COLS, gen_pages_seed
+    from ape_dts_spark.streaming.driver import CdcEngine, EngineConfig
+
+    ch = str(tmp_path / "changes")
+    gen_changes(spark, 100, 30, seed=2).write.parquet(ch)
+    pp = str(tmp_path / "pages")
+    t = LakeTable.create(pp, PAGES_COLS, bucket_key="url", bucket_count=4)
+    t.append(gen_pages_seed(spark, 30, seed=2))
+    eng = CdcEngine(spark, EngineConfig(job_id="hb", pages_path=pp, changes_path=ch,
+                                        extract_text=False))
+    eng.run()
+    hwm0, b0 = eng.committed_hwm()
+    n0 = eng.checkpoints.read(spark).count()
+    hb = eng.heartbeat()
+    assert hb["hwm"] == hwm0 and hb["batch_id"] == b0
+    # a fresh liveness row exists; resume position unchanged
+    assert eng.checkpoints.read(spark).count() == n0 + 1
+    assert eng.committed_hwm() == (hwm0, b0)
+    # rerun after heartbeat is still a no-op (idempotent resume)
+    assert eng.run()["batches"] == 0
