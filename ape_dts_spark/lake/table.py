@@ -116,21 +116,88 @@ class TableSchema:
 
 @dataclass
 class _Manifest:
+    """Table snapshot metadata.
+
+    `files` is the FULL live file list in memory; on disk it is split into
+    immutable **segment files** (`_meta/seg-*.json`, grouped per bucket,
+    referenced by `file_segments`) plus a small tail, so a commit
+    serializes O(new + churned-bucket entries), not O(total files) — the
+    Iceberg manifest-list idea.  At 10^5+ files a flat per-commit JSON
+    rewrite is O(table) driver work per micro-batch; segments bound it.
+    Loaded entries carry a transient `seg` key naming their segment; a
+    segment is reused by the next commit iff ALL its entries are still
+    live (count match), otherwise its survivors fall back into the tail.
+    """
+
     version: int
     bucket_key: str | None
     bucket_count: int
     schemas: dict[str, dict]  # schema_version(str) -> TableSchema json
     current_schema: int
-    files: list[dict]  # {"path","bucket","schema_version","rows"}
+    files: list[dict]  # {"path","bucket","schema_version","rows"[,"seg"]}
     properties: dict[str, str] = field(default_factory=dict)
     parent: int | None = None
+    file_segments: list[dict] = field(default_factory=list)  # {"path","n"}
 
-    def to_json(self) -> str:
-        return json.dumps(self.__dict__, indent=1, sort_keys=True)
+    #: per-bucket tail entries above this count get sealed into a segment
+    SEAL_PER_BUCKET = 32
+
+    def to_json_split(self, table_path: str) -> str:
+        """Serialize, sealing oversized per-bucket tail groups into new
+        immutable segment files under `_meta/` (written before the manifest
+        pointer — a crash in between leaves only orphan segments)."""
+        by_seg: dict[str, list[dict]] = {}
+        tail: list[dict] = []
+        for f in self.files:
+            if f.get("seg"):
+                by_seg.setdefault(f["seg"], []).append(f)
+            else:
+                tail.append(f)
+        kept_segments: list[dict] = []
+        for seg in self.file_segments:
+            entries = by_seg.get(seg["path"], [])
+            if len(entries) == seg["n"]:
+                kept_segments.append(seg)  # fully live: reuse as-is
+            else:
+                # partially dead (bucket rewritten): survivors rejoin the tail
+                tail.extend({k: v for k, v in e.items() if k != "seg"} for e in entries)
+        # seal hot buckets' tails into fresh segments
+        by_bucket: dict[int, list[dict]] = {}
+        for f in tail:
+            by_bucket.setdefault(f["bucket"], []).append(f)
+        final_tail: list[dict] = []
+        for bucket, entries in sorted(by_bucket.items()):
+            if len(entries) > self.SEAL_PER_BUCKET:
+                rel = f"_meta/seg-v{self.version}-b{bucket}-{uuid.uuid4().hex[:8]}.json"
+                seg_abs = os.path.join(table_path, rel)
+                clean = [{k: v for k, v in e.items() if k != "seg"} for e in entries]
+                with open(seg_abs, "w") as fh:
+                    json.dump(clean, fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                kept_segments.append({"path": rel, "n": len(clean)})
+                for e in entries:  # in-memory entries now belong to the segment
+                    e["seg"] = rel
+            else:
+                final_tail.extend(entries)
+        self.file_segments = kept_segments
+        d = dict(self.__dict__)
+        d["files"] = [{k: v for k, v in e.items() if k != "seg"} for e in final_tail]
+        return json.dumps(d, indent=1, sort_keys=True)
 
     @staticmethod
-    def from_json(s: str) -> "_Manifest":
-        return _Manifest(**json.loads(s))
+    def from_json(s: str, table_path: str | None = None) -> "_Manifest":
+        d = json.loads(s)
+        m = _Manifest(**d)
+        if m.file_segments and table_path is not None:
+            loaded: list[dict] = []
+            for seg in m.file_segments:
+                with open(os.path.join(table_path, seg["path"])) as fh:
+                    for e in json.load(fh):
+                        e["seg"] = seg["path"]
+                        loaded.append(e)
+            m.files = loaded + m.files
+        return m
 
 
 class CommitConflict(RuntimeError):
@@ -181,7 +248,7 @@ class LakeTable:
             raise FileNotFoundError(f"no committed version under {meta}")
         v = max(versions)
         with open(os.path.join(meta, f"v{v}.json")) as fh:
-            return LakeTable(path, _Manifest.from_json(fh.read()))
+            return LakeTable(path, _Manifest.from_json(fh.read(), table_path=path))
 
     @staticmethod
     def exists(path: str) -> bool:
@@ -426,7 +493,7 @@ class LakeTable:
         tmp = os.path.join(meta, f".tmp-{uuid.uuid4().hex}.json")
         final = os.path.join(meta, f"v{m.version}.json")
         with open(tmp, "w") as fh:
-            fh.write(m.to_json())
+            fh.write(m.to_json_split(self.path))
             fh.flush()
             os.fsync(fh.fileno())
         try:
@@ -448,6 +515,7 @@ class LakeTable:
             files=[dict(f) for f in m.files],
             properties=dict(m.properties),
             parent=m.version,
+            file_segments=[dict(s) for s in m.file_segments],
         )
         base.update(overrides)
         return _Manifest(**base)
@@ -758,4 +826,6 @@ class LakeTable:
     def read_version(self, spark: SparkSession, version: int) -> DataFrame:
         """Time travel: read an older committed snapshot."""
         with open(os.path.join(self.path, "_meta", f"v{version}.json")) as fh:
-            return LakeTable(self.path, _Manifest.from_json(fh.read())).read(spark)
+            return LakeTable(
+                self.path, _Manifest.from_json(fh.read(), table_path=self.path)
+            ).read(spark)

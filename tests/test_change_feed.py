@@ -106,3 +106,37 @@ def test_heartbeat_liveness_row(spark, tmp_path):
     assert eng.committed_hwm() == (hwm0, b0)
     # rerun after heartbeat is still a no-op (idempotent resume)
     assert eng.run()["batches"] == 0
+
+
+def test_feed_consumer_fetch_ack_replay(spark, tmp_path):
+    """Pull + ack + replay-from-last-ack (http_server_pipeline.rs contract):
+    unacked records re-deliver; ack is durable and monotonic."""
+    from ape_dts_spark.operators.feed_consumer import FeedConsumer
+
+    ch = gen_changes(spark, 300, 50, seed=4).select("lsn", "url", "op", "lang")
+    rec = change_feed_records(ch, key_col="url", payload_cols=["url", "lang"])
+    feed = str(tmp_path / "feed")
+    write_change_feed(rec, feed)
+
+    c = FeedConsumer(feed, group="g1")
+    assert c.topics() == ["web.pages"]
+    b1 = c.fetch("web.pages", max_records=100)
+    assert len(b1) == 100
+    assert [r["lsn"] for r in b1] == sorted(r["lsn"] for r in b1)
+    # crash before ack -> same batch re-delivers
+    again = c.fetch("web.pages", max_records=100)
+    assert [r["lsn"] for r in again] == [r["lsn"] for r in b1]
+    c.ack("web.pages", b1[-1]["lsn"])
+    b2 = c.fetch("web.pages", max_records=1000)
+    assert len(b2) == 200
+    assert b2[0]["lsn"] > b1[-1]["lsn"]
+    # ack persists across consumer restarts; backwards ack is a no-op
+    c2 = FeedConsumer(feed, group="g1")
+    assert c2.acked_lsn("web.pages") == b1[-1]["lsn"]
+    c2.ack("web.pages", 1)
+    assert c2.acked_lsn("web.pages") == b1[-1]["lsn"]
+    # independent groups have independent positions; fetch_full ignores acks
+    assert len(FeedConsumer(feed, group="g2").fetch("web.pages", 10_000)) == 300
+    c2.ack("web.pages", 10**9)
+    assert c2.fetch("web.pages") == []
+    assert len(c2.fetch_full("web.pages")) == 300

@@ -156,3 +156,54 @@ def test_catalog_table_lifecycle(spark, tmp_path):
     assert cat.drop_table("t2", if_exists=True) is False
     with pytest.raises(ValueError, match="no table"):
         cat.drop_table("t2")
+
+
+def test_manifest_segmentation_bounds_commit_size(spark, tmp_path, monkeypatch):
+    """With 10^5+ files a flat manifest is O(table) JSON per commit; sealed
+    per-bucket segments keep the committed manifest O(tail) while readers
+    still see every live file (incl. time travel)."""
+    import json as _json
+    import os as _os
+
+    from ape_dts_spark.lake.table import _Manifest
+
+    monkeypatch.setattr(_Manifest, "SEAL_PER_BUCKET", 4)
+    t = _mk(tmp_path, bucket_count=2)
+    df = spark.createDataFrame([(f"k{i}", i) for i in range(40)], "k string, v int")
+    for _ in range(8):
+        t.append(df)
+    n_files = len(t.manifest.files)
+    assert n_files >= 16
+    # on-disk manifest holds only the tail; segments carry the rest
+    raw = _json.load(open(_os.path.join(t.path, "_meta", f"v{t.version}.json")))
+    assert raw["file_segments"], "sealing never triggered"
+    assert len(raw["files"]) < n_files
+    assert sum(s["n"] for s in raw["file_segments"]) + len(raw["files"]) == n_files
+    # a fresh load materializes the full list and reads all rows
+    t2 = LakeTable.load(t.path)
+    assert len(t2.manifest.files) == n_files
+    assert t2.read(spark).count() == 8 * 40
+    # later commits reuse untouched segments verbatim (no rewrite)
+    segs_before = {s["path"] for s in raw["file_segments"]}
+    t2.append(df)
+    raw2 = _json.load(open(_os.path.join(t2.path, "_meta", f"v{t2.version}.json")))
+    assert segs_before <= {s["path"] for s in raw2["file_segments"]}
+    # overwrite of one bucket invalidates only that bucket's segments
+    v_pre = t2.version
+    new = spark.createDataFrame([("k0", 999)], "k string, v int").withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col("k")), F.lit(2)).cast("int")
+    )
+    b = new.collect()[0]["_bucket"]
+    t2.overwrite_buckets(new.filter(F.col("_bucket") == b), [b])
+    assert {f["bucket"] for f in t2.manifest.files if f["bucket"] == b}  # rewritten
+    # bucket b now holds ONLY k0 (replace semantics); other bucket untouched
+    other = {
+        r["k"]
+        for r in df.withColumn("_b", F.pmod(F.xxhash64(F.col("k")), F.lit(2)).cast("int"))
+        .filter(F.col("_b") != b)
+        .collect()
+    }
+    live = {r["k"] for r in t2.read(spark).collect()}
+    assert live == other | {"k0"}
+    # time travel through a segmented manifest still works
+    assert t2.read_version(spark, v_pre).count() == 9 * 40
