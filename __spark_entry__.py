@@ -273,6 +273,43 @@ def q_cdc_to_sql(spark, sf_dir):
     )
 
 
+def q_cdc_before_image(spark, sf_dir):
+    """True before/after change records (reference RowData fidelity,
+    row_data.rs:19-26): before = the key's previous after-image, NULL right
+    after a delete or for a never-seen key.  The in-stream half of
+    operators.before_image.attach_before_images (its committed-table-state
+    half needs a lake table and is exercised in tests/test_before_image.py)."""
+    ch = _cdc(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("lsn")
+    prev_op = F.lag("op").over(w)
+    before_value = F.when(prev_op == "delete", F.lit(None).cast("double")).otherwise(
+        F.lag("value").over(w)
+    )
+    after_value = F.when(F.col("op") == "delete", F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    return ch.select(
+        "lsn",
+        "user_id",
+        F.col("op").alias("operation"),
+        before_value.alias("before_value"),
+        after_value.alias("after_value"),
+    )
+
+
+def q_struct_table_meta(spark, sf_dir):
+    """Struct extractor (reference pg/mysql struct_fetcher + struct sinkers):
+    pull table definitions from the catalog (= parquet footers) as normalized
+    (tb, ordinal, col_name, col_type) rows — metadata-only, no data scan."""
+    from ape_dts_spark.operators.struct_meta import tables_struct
+
+    tables = {
+        t: f"{sf_dir}/{t}.parquet"
+        for t in ("orders", "lineitem", "documents", "events")
+    }
+    return tables_struct(spark, tables)
+
+
 # --------------------------------------------------------------------------
 # Relational coverage (joins/aggregates the engine composes internally)
 # --------------------------------------------------------------------------
@@ -492,6 +529,23 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (FAISS IVF layout): md5-picked deterministic
+    centroids, argmax-cosine cell assignment, n_probe-cell probing — every
+    step left-folds in double so the DuckDB oracle reproduces assignments
+    and scores bit-for-bit."""
+    from ape_dts_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = ivf_topk(emb, queries, n_cells=8, n_probe=2, k=5, seed=42)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, LSH-table blocked (similarity-
     preserving: identical vectors collide in every table); duplicated
@@ -550,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_chunks": q_cdc_snapshot_chunks,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_to_sql": q_cdc_to_sql,
+        "cdc_before_image": q_cdc_before_image,
+        "struct_table_meta": q_struct_table_meta,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
         "tpch_q5_nation_revenue": q_tpch_q5_nation_revenue,
@@ -567,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_metadata": q_media_metadata,
     }
@@ -710,6 +767,70 @@ def _ann_lsh_oracle_sql(n_planes: int = 6, k: int = 5, seed: int = 42) -> str:
                      list_cosine_similarity(q.v, c.v) AS cos_sim
               FROM bb q JOIN bb c
                 ON q.bucket = c.bucket AND q.vec_id < 8 AND q.vec_id <> c.vec_id
+            )
+            SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= {k}
+        """
+
+
+def _fold_dot(a: str, b: str) -> str:
+    """Left-fold dot product of two DOUBLE[] expressions, identical to
+    similarity._dot's aggregate() order."""
+    return (
+        "list_reduce(list_prepend((0.0)::DOUBLE, "
+        f"list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), (acc, e) -> acc + e)"
+    )
+
+
+def _fold_norm(a: str) -> str:
+    """sqrt(left-fold sum of squares) — similarity._norm's exact order."""
+    return (
+        "sqrt(list_reduce(list_prepend((0.0)::DOUBLE, "
+        f"list_transform({a}, x -> x * x)), (acc, e) -> acc + e))"
+    )
+
+
+def _ivf_oracle_sql(n_cells: int = 8, n_probe: int = 2, k: int = 5, seed: int = 42) -> str:
+    """DuckDB mirror of similarity.ivf_assign + ivf_topk: md5-derived
+    centroid pick, argmax-cosine assignment, n_probe probing — every dot/
+    norm left-folds in double so cell boundaries agree bit-for-bit."""
+    cos_bc = f"({_fold_dot('b.v', 'c.cv')} / (b.nrm * c.cnrm))"
+    return f"""
+            WITH nb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     {_fold_norm("embedding::DOUBLE[]")} AS nrm
+              FROM embeddings
+            ), picked AS (
+              SELECT vec_id, v,
+                     ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#' || '{seed}'), 1, 12))
+                       ::BIGINT % 1000000 AS r
+              FROM nb
+            ), cents AS (
+              SELECT CAST(row_number() OVER (ORDER BY r ASC, vec_id ASC) - 1 AS INT) AS cell,
+                     v AS cv, {_fold_norm("v")} AS cnrm
+              FROM (SELECT * FROM picked ORDER BY r ASC, vec_id ASC LIMIT {n_cells})
+            ), asg AS (
+              SELECT vec_id, v, nrm, cell FROM (
+                SELECT b.vec_id, b.v, b.nrm, c.cell,
+                       row_number() OVER (PARTITION BY b.vec_id
+                                          ORDER BY {cos_bc} DESC, c.cell ASC) AS rn
+                FROM nb b CROSS JOIN cents c
+              ) WHERE rn = 1
+            ), probes AS (
+              SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cell FROM (
+                SELECT b.vec_id, b.v, b.nrm, c.cell,
+                       row_number() OVER (PARTITION BY b.vec_id
+                                          ORDER BY {cos_bc} DESC, c.cell ASC) AS rn
+                FROM nb b CROSS JOIN cents c
+                WHERE b.vec_id < 8
+              ) WHERE rn <= {n_probe}
+            ), scored AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     ({_fold_dot('p.qv', 'a.v')} / (p.qnrm * a.nrm)) AS cos_sim
+              FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.vec_id
             )
             SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rank FROM (
               SELECT *, CAST(row_number() OVER (PARTITION BY query_id
@@ -922,6 +1043,39 @@ def oracle_sql() -> dict[str, str]:
                    END AS sql
             FROM ch
         """,
+        "cdc_before_image": f"""
+            WITH ch AS ({cdc})
+            SELECT lsn, user_id, op AS operation,
+                   CASE WHEN lag(op) OVER w = 'delete' THEN NULL
+                        ELSE lag(value) OVER w END AS before_value,
+                   CASE WHEN op = 'delete' THEN NULL ELSE value END AS after_value
+            FROM ch
+            WINDOW w AS (PARTITION BY user_id ORDER BY lsn)
+        """,
+        "struct_table_meta": """
+            SELECT tb, CAST(ordinal AS INT) AS ordinal, col_name,
+                   CASE lower(dt)
+                        WHEN 'bigint' THEN 'bigint'
+                        WHEN 'integer' THEN 'int'
+                        WHEN 'varchar' THEN 'string'
+                        WHEN 'double' THEN 'double'
+                        WHEN 'float' THEN 'float'
+                        WHEN 'date' THEN 'date'
+                        WHEN 'boolean' THEN 'boolean'
+                        WHEN 'blob' THEN 'binary'
+                        WHEN 'timestamp' THEN 'timestamp'
+                        WHEN 'timestamp_ns' THEN 'timestamp'
+                        WHEN 'timestamp with time zone' THEN 'timestamp'
+                        WHEN 'float[]' THEN 'array<float>'
+                        ELSE lower(dt)
+                   END AS col_type
+            FROM (
+              SELECT table_name AS tb, ordinal_position AS ordinal,
+                     column_name AS col_name, data_type AS dt
+              FROM information_schema.columns
+              WHERE table_name IN ('orders', 'lineitem', 'documents', 'events')
+            )
+        """,
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1119,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "ann_lsh_topk": _ann_lsh_oracle_sql(n_planes=6, k=5, seed=42),
+        "ann_ivf_topk": _ivf_oracle_sql(n_cells=8, n_probe=2, k=5, seed=42),
         "dedup_embedding_cosine": _embedding_near_dup_oracle_sql(
             threshold=0.95, n_tables=3, planes_per_table=4, seed=42
         ),

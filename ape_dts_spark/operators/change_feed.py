@@ -35,29 +35,42 @@ def change_feed_records(
     tb_name: str = "pages",
     payload_cols: list[str] | None = None,
     origin: str | None = None,
+    before_col: str | None = None,
 ) -> DataFrame:
     """Keyed change records: (key, topic, lsn, value_json[, origin]).
 
-    value_json carries {schema, tb, op, lsn, after:{...}} — after is null
+    value_json carries {schema, tb, op, lsn, before, after} — after is null
     for deletes (reference kafka_sinker.rs Avro schema: before/after/
     operation + identity fields; key = order-col value, avro_converter.rs:57-76).
+    `before_col` names a struct column holding the true before-image
+    (operators.before_image.attach_before_images); absent -> before is null.
 
     `origin` is the SINK-SIDE data marker (reference dt-connector/src/
     data_marker.rs + mysql_sinker.rs:249-273): a node participating in
     two-way sync stamps every record it emits with its own node id, so the
     peer's extractor (ChangeFilter.do_origins) can drop the events that
     originated from itself — the write half of loop prevention.  When the
-    input already carries an `origin` column (relayed events), it is
-    preserved unless overridden.
+    input already carries a non-null `origin` (relayed events), that
+    original provenance is preserved; `origin` only stamps locally-born
+    rows, so a record's origin survives any number of relay hops and a
+    cycle A->B->A is cut by A filtering its own id.
     """
     payload_cols = payload_cols or [
-        c for c in df.columns if c not in (op_col, lsn_col, "origin", "_bucket")
+        c
+        for c in df.columns
+        if c not in (op_col, lsn_col, "origin", "_bucket", before_col)
     ]
     after = F.when(
         F.col(op_col) != "delete",
         F.to_json(F.struct(*[F.col(c) for c in payload_cols])),
     )
-    if origin is not None:
+    if before_col is not None and before_col in df.columns:
+        before = F.to_json(F.col(before_col))
+    else:
+        before = F.lit(None).cast("string")
+    if "origin" in df.columns and origin is not None:
+        origin_col = F.coalesce(F.col("origin").cast("string"), F.lit(origin))
+    elif origin is not None:
         origin_col = F.lit(origin)
     elif "origin" in df.columns:
         origin_col = F.col("origin").cast("string")
@@ -69,6 +82,7 @@ def change_feed_records(
             F.lit(tb_name).alias("tb"),
             F.col(op_col).alias("operation"),
             F.col(lsn_col).alias("position"),
+            before.alias("before"),
             after.alias("after"),
             origin_col.alias("origin"),
         )
@@ -103,6 +117,52 @@ def write_change_feed(
         .write.mode(mode)
         .partitionBy("topic")
         .parquet(path)
+    )
+
+
+FEED_ENVELOPE = (
+    "schema string, tb string, operation string, position long, "
+    "before string, after string, origin string"
+)
+
+
+def read_change_feed(
+    spark,
+    path: str,
+    payload_schema: str,
+    key_col: str = "url",
+    topic: str | None = None,
+) -> DataFrame:
+    """Inverse of change_feed_records: parse the directory feed back into
+    engine-consumable change rows (lsn, op, origin, payload...).
+
+    `payload_schema` is the DDL string of the after-image struct (e.g.
+    "url string, lang string").  Delete records carry no after-image; their
+    payload columns come back NULL except the key, recovered from the record
+    key — exactly what the MERGE sink needs.  This is the read half of a
+    feed-relay topology (engine A's feed -> engine B's change stream), the
+    reference's kafka-extractor direction (dt-connector/src/extractor/kafka)."""
+    st = spark.createDataFrame([], payload_schema).schema
+    df = spark.read.parquet(path)
+    if topic is not None:
+        df = df.filter(F.col("topic") == topic)
+    parsed = df.select(
+        F.col("key"), F.from_json(F.col("value"), FEED_ENVELOPE).alias("_v")
+    )
+    payload = [
+        F.coalesce(F.col(f"_v_after.{f.name}"), F.col("key")).alias(f.name)
+        if f.name == key_col
+        else F.col(f"_v_after.{f.name}")
+        for f in st.fields
+    ]
+    return (
+        parsed.withColumn("_v_after", F.from_json(F.col("_v.after"), st))
+        .select(
+            F.col("_v.position").alias("lsn"),
+            F.col("_v.operation").alias("op"),
+            F.col("_v.origin").alias("origin"),
+            *payload,
+        )
     )
 
 

@@ -50,6 +50,9 @@ class ChangeFilter:
 
     do_events: list[str] = field(default_factory=lambda: ["insert", "update", "delete"])
     do_origins: list[str] | None = None  # data-marker loop prevention (two_way.md)
+    # drop-list form of the data marker: a node excludes ITS OWN id (and
+    # keeps user-born NULL-origin rows) without enumerating every peer
+    ignore_origins: list[str] | None = None
     start_time_utc: str | None = None  # time gate on event time (time_filter.rs)
     end_time_utc: str | None = None
     where_condition: str | None = None  # SQL predicate, pushed down by Catalyst
@@ -60,6 +63,10 @@ class ChangeFilter:
             df = df.filter(F.col(op_col).isin(self.do_events))
         if self.do_origins is not None and "origin" in df.columns:
             df = df.filter(F.col("origin").isin(self.do_origins))
+        if self.ignore_origins and "origin" in df.columns:
+            df = df.filter(
+                F.col("origin").isNull() | ~F.col("origin").isin(self.ignore_origins)
+            )
         if self.start_time_utc:
             df = df.filter(F.col(ts_col) >= F.lit(self.start_time_utc).cast("timestamp"))
         if self.end_time_utc:

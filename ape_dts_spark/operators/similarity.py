@@ -188,9 +188,21 @@ def ivf_assign(
     hash-picked corpus rows; assign each vector to its nearest centroid.
     Returns (assignments, centroids).  An IVF probe then scores only the
     query's nearest cell(s) — the classic sub-linear ANN layout."""
+    # md5-derived pick rank (not xxhash64): any SQL engine reproduces the
+    # centroid choice bit-for-bit, so IVF results are oracle-checkable
+    rank_hash = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col(id_col).cast("string"), F.lit(seed))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
     picked = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_r", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000)))
+        .withColumn("_r", rank_hash)
         .orderBy("_r", id_col)
         .limit(n_cells)
         # deterministic cell ids: row_number over the already-LIMITed n_cells
@@ -221,3 +233,62 @@ def ivf_assign(
         .select(id_col, vec_col, "cell")
     )
     return assigned, picked
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-probed approximate top-k: score only corpus vectors whose cell is
+    among the query's `n_probe` nearest centroids (the classic FAISS IVF
+    layout, expressed as two broadcast joins + one cell equi-join).
+
+    Scale shape at 10^10 vectors: the corpus is partitioned once by `cell`
+    (a shuffle bounded by cell sizes; centroids are a broadcast), queries
+    fan out to n_probe cells, and scoring touches n_probe/n_cells of the
+    corpus.  Recall rises with n_probe at linear cost.
+    """
+    assigned, cents = ivf_assign(corpus, n_cells, id_col, vec_col, seed)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(query_id_col),
+            F.col("_qv"),
+            F.col("cell"),
+            cosine_sim(F.col("_qv"), F.col("centroid")).alias("_csim"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("_csim").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_id_col, "_qv", "cell")
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell"
+    )
+    scored = (
+        probes.join(c, "cell")
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(
+            F.col(query_id_col),
+            F.col("neighbor_id"),
+            cosine_sim(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -101,6 +101,16 @@ class EngineConfig:
     # count exceeds the table's bucket_count.
     files_per_bucket: int = 1
     merge_mode: str = "mor"  # "mor" (O(batch) delta append) | "cow" (bucket rewrite)
+    # two-way-sync identity + outbound change feed (reference data_marker.rs
+    # + kafka_sinker.rs): when feed_path is set, every applied batch is also
+    # emitted as keyed change records stamped with node_id (locally-born rows
+    # only — relayed rows keep their original origin, so a peer consuming the
+    # feed with ChangeFilter(do_origins=...) cuts the A->B->A cycle).
+    node_id: str | None = None
+    feed_path: str | None = None
+    # attach true before-images (in-batch lag + committed-state lookup) to
+    # the outbound feed records (reference RowData before/after fidelity)
+    feed_before_images: bool = False
     # compact a bucket when its delta bytes exceed this fraction of the
     # bucket's total bytes; <= 0 disables auto-compaction
     compact_ratio: float = 0.5
@@ -187,7 +197,10 @@ def prepare_changes(pages: LakeTable, df: DataFrame, cfg: "EngineConfig") -> Dat
         if cand is None:
             continue  # merge_into null-pads missing payload columns
         payload.append(F.col(cand).alias(name))
-    projected = df.select(*payload, F.col("op"), F.col("lsn"))
+    # origin rides along for feed emission (merge_into ignores non-schema
+    # columns); dropped implicitly by the sink's schema projection
+    carry = [F.col("origin")] if cfg.feed_path and "origin" in df.columns else []
+    projected = df.select(*payload, F.col("op"), F.col("lsn"), *carry)
 
     # LWW compaction BEFORE the expensive text extraction: a url hit by a
     # burst of B events is extracted once, not B times.
@@ -305,7 +318,15 @@ class CdcEngine:
         cfg = self.cfg
         self.pages.refresh()
 
-        already_applied = int(self.pages.manifest.properties.get("hwm_lsn", "0")) >= hi
+        # job-scoped hwm guard: a table fed by several jobs (two-way sync,
+        # multi-source fan-in) keeps one watermark per job — a peer job's
+        # merge must not make this job's slice look already-applied.
+        # Legacy single-key fallback only when the last writer WAS this job.
+        props = self.pages.manifest.properties
+        hwm_prop = props.get(f"hwm_lsn.{cfg.job_id}")
+        if hwm_prop is None and props.get("job_id") == cfg.job_id:
+            hwm_prop = props.get("hwm_lsn")
+        already_applied = int(hwm_prop or 0) >= hi
         slice_df = self._changes().filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
         obs = Observation()
         slice_df = slice_df.observe(
@@ -316,6 +337,35 @@ class CdcEngine:
         deduped = prepare_changes(self.pages, slice_df, cfg)
 
         t_prep = time.monotonic() - t0
+        t_feed = 0.0
+        if cfg.feed_path and not already_applied:
+            # Outbound change feed, emitted BEFORE the merge so before-images
+            # reflect pre-batch committed state.  The batch is persisted so
+            # the expensive prep chain (extraction included) runs once for
+            # feed + merge, then released.
+            from ape_dts_spark.operators.before_image import attach_before_images
+            from ape_dts_spark.operators.change_feed import (
+                change_feed_records,
+                write_change_feed,
+            )
+
+            tf0 = time.monotonic()
+            deduped = deduped.persist()
+            feed_df = deduped
+            before_col = None
+            if cfg.feed_before_images:
+                feed_df = attach_before_images(
+                    self.spark, self.pages, feed_df, key_col=cfg.key_col
+                )
+                before_col = "before"
+            records = change_feed_records(
+                feed_df,
+                key_col=cfg.key_col,
+                origin=cfg.node_id or cfg.job_id,
+                before_col=before_col,
+            )
+            write_change_feed(records, cfg.feed_path)
+            t_feed = time.monotonic() - tf0
         if not already_applied:
             stats = merge_into(
                 self.spark,
@@ -323,6 +373,7 @@ class CdcEngine:
                 deduped,
                 properties={
                     "hwm_lsn": str(hi),
+                    f"hwm_lsn.{cfg.job_id}": str(hi),
                     "batch_id": str(batch_id),
                     "job_id": cfg.job_id,
                 },
@@ -333,9 +384,20 @@ class CdcEngine:
                     and self.pages.manifest.bucket_key == cfg.key_col
                 ),
             )
-            input_records = int(obs.get["records"] or 0)
+            try:
+                got = obs.get
+                input_records = int(got["records"] or 0)
+                input_bytes = int(got["bytes"] or 0)
+            except Exception:
+                # a batch the filter empties entirely runs zero tasks through
+                # the CollectMetrics node and the observation never resolves;
+                # fall back to one bounded count job (rare: empty batches only)
+                input_records = self._changes().filter(
+                    (F.col("lsn") > lo) & (F.col("lsn") <= hi)
+                ).count()
+                input_bytes = 0
             self.metrics["record_count"] += input_records
-            self.metrics["data_bytes"] += int(obs.get["bytes"] or 0)
+            self.metrics["data_bytes"] += input_bytes
             self.metrics["sinked_records"] += stats.output_rows if stats.output_rows > 0 else 0
             self._write_lineage(batch_id, lo, hi, stats, input_records, t0)
         else:
@@ -343,14 +405,16 @@ class CdcEngine:
             # skip it (manifest hwm guard) and just restore the checkpoint row.
             stats = None
 
+        if cfg.feed_path and not already_applied:
+            deduped.unpersist()
         self._hook("post_merge", batch_id)
 
-        t_merge = time.monotonic() - t0 - t_prep
+        t_merge = time.monotonic() - t0 - t_prep - t_feed
 
         # fold delta files into base when they dominate (MOR maintenance;
         # crash-safe: compaction is one atomic commit, a no-op to replay)
         compacted = maybe_compact(self.spark, self.pages, cfg)
-        t_compact = time.monotonic() - t0 - t_prep - t_merge
+        t_compact = time.monotonic() - t0 - t_prep - t_feed - t_merge
 
         if ddl is not None:
             self._apply_ddl(ddl)
@@ -364,10 +428,13 @@ class CdcEngine:
                 "lo": lo,
                 "hi": hi,
                 "prep_s": round(t_prep, 2),
+                "feed_s": round(t_feed, 2),
                 "merge_s": round(t_merge, 2),
                 "compact_s": round(t_compact, 2),
                 "compacted": compacted,
-                "bookkeep_s": round(time.monotonic() - t0 - t_prep - t_merge - t_compact, 2),
+                "bookkeep_s": round(
+                    time.monotonic() - t0 - t_prep - t_feed - t_merge - t_compact, 2
+                ),
                 "skipped_merge": already_applied,
             }
         )
