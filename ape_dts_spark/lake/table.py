@@ -55,6 +55,14 @@ _TYPES: dict[str, T.DataType] = {
     "float": T.FloatType(),
     "boolean": T.BooleanType(),
     "date": T.DateType(),
+    # SQL-vocabulary aliases (struct_meta normalizes to these; accepting both
+    # lets a struct-extractor dump round-trip through create-like)
+    "bigint": T.LongType(),
+    "integer": T.IntegerType(),
+    "smallint": T.ShortType(),
+    "tinyint": T.ByteType(),
+    "varchar": T.StringType(),
+    "text": T.StringType(),
 }
 
 # widen_column whitelist (reference: MySQL type widening via DDL; Iceberg's
