@@ -584,6 +584,107 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_cdc_merge_apply(spark, SF0001)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """LSH candidate pairs -> connected components (iterative min-label
+    propagation; the GraphFrames/large-star scheme) -> (doc_id, cluster_id).
+    Oracle = recursive-CTE transitive closure over the same capped pairs."""
+    from ape_dts_spark.operators.dedup_clusters import connected_components
+    from ape_dts_spark.operators.text_dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir)
+    sh = word_shingles(docs, "doc_id", "text", k=5)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4, max_bucket=64)
+    return connected_components(pairs)
+
+
+def q_text_repetition(spark, sf_dir):
+    from ape_dts_spark.operators.text_analysis import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_text_length_hist(spark, sf_dir):
+    from ape_dts_spark.operators.text_analysis import length_histogram
+
+    return length_histogram(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_bigram_topk(spark, sf_dir):
+    from ape_dts_spark.operators.text_analysis import corpus_ngram_topk
+
+    return corpus_ngram_topk(_t(spark, sf_dir, "documents"), k=2, topn=20)
+
+
+def q_emb_centroids(spark, sf_dir):
+    from ape_dts_spark.operators.similarity import embedding_centroids
+
+    return embedding_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+def q_emb_norm_stats(spark, sf_dir):
+    from ape_dts_spark.operators.similarity import embedding_norm_stats
+
+    return embedding_norm_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def _pii_seeded(spark, sf_dir):
+    """documents + deterministic planted PII (emails/IPs on doc_id%7,
+    phones on doc_id%11) — mirrored literally in the oracle SQL so the
+    redaction itself is value-checked, not just a no-op pass-through."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            t,
+            F.lit(" user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 250).cast("string"),
+        ),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            t, F.lit(" call 555-000-"), (F.lit(1000) + F.col("doc_id") % 9000).cast("string")
+        ),
+    ).otherwise(t)
+    return d.select("doc_id", t.alias("text"))
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    from ape_dts_spark.operators.pii import scrub_pii
+
+    out = scrub_pii(_pii_seeded(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.md5("text_scrubbed").alias("scrub_digest"),
+        "n_emails",
+        "n_phones",
+        "n_ips",
+    )
+
+
+def q_hot_keys_topk(spark, sf_dir):
+    """Hot-key profiler (salting evidence for the url-salted merge shuffle)."""
+    from ape_dts_spark.operators.profiling import hot_key_report
+
+    top, _ = hot_key_report(_cdc(spark, sf_dir), key_col="user_id", top_k=20)
+    return top
+
+
+def q_hot_keys_summary(spark, sf_dir):
+    from ape_dts_spark.operators.profiling import hot_key_report
+
+    _, summary = hot_key_report(_cdc(spark, sf_dir), key_col="user_id")
+    return summary
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -626,6 +727,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_metadata": q_media_metadata,
+        "dedup_clusters": q_dedup_clusters,
+        "text_repetition": q_text_repetition,
+        "text_length_hist": q_text_length_hist,
+        "corpus_bigram_topk": q_corpus_bigram_topk,
+        "emb_centroids": q_emb_centroids,
+        "emb_norm_stats": q_emb_norm_stats,
+        "text_pii_scrub": q_text_pii_scrub,
+        "hot_keys_topk": q_hot_keys_topk,
+        "hot_keys_summary": q_hot_keys_summary,
     }
 
 
@@ -885,6 +995,55 @@ sh AS (
   FROM pos WHERE length(array_to_string(list_slice(w, i, i + {k} - 1), ' ')) > 0
 )
 """
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB mirror of _pii_seeded + operators.pii.scrub_pii.  The regex
+    literals are imported from the operator so both engines run the same
+    RE2-safe patterns (placeholder substitution — the patterns contain
+    ``{m,n}`` quantifiers that would collide with str.format/f-strings)."""
+    from ape_dts_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    sql = """
+        WITH seeded AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com from 10.0.0.'
+                           || CAST(doc_id % 250 AS VARCHAR)
+                      ELSE text END AS t0
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN t0 || ' call 555-000-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                      ELSE t0 END AS t
+          FROM seeded
+        ), p1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t, '@EMAIL@')) AS n_emails,
+                 regexp_replace(t, '@EMAIL@', '<EMAIL>', 'g') AS t1
+          FROM s1
+        ), p2 AS (
+          SELECT doc_id, n_emails,
+                 len(regexp_extract_all(t1, '@IP@')) AS n_ips,
+                 regexp_replace(t1, '@IP@', '<IP>', 'g') AS t2
+          FROM p1
+        ), p3 AS (
+          SELECT doc_id, n_emails, n_ips,
+                 len(regexp_extract_all(t2, '@PHONE@')) AS n_phones,
+                 regexp_replace(t2, '@PHONE@', '<PHONE>', 'g') AS t3
+          FROM p2
+        )
+        SELECT doc_id, md5(t3) AS scrub_digest,
+               CAST(n_emails AS BIGINT) AS n_emails,
+               CAST(n_phones AS BIGINT) AS n_phones,
+               CAST(n_ips AS BIGINT) AS n_ips
+        FROM p3
+    """
+    return (
+        sql.replace("@EMAIL@", EMAIL_RE).replace("@IP@", IPV4_RE).replace("@PHONE@", PHONE_RE)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1281,5 +1440,105 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS digest, true AS decode_ok
             FROM documents
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE cand AS (
+              SELECT * FROM ({_minhash_oracle_sql()}) t
+            ), edges AS (
+              SELECT a AS src, b AS dst FROM cand
+              UNION
+              SELECT b AS src, a AS dst FROM cand
+            ), reach(node, lbl) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        "text_repetition": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 w -> length(w) > 0) AS w
+              FROM documents
+            ), base AS (
+              SELECT doc_id, w, len(w) AS n, len(list_distinct(w)) AS types FROM words
+            ), pos AS (
+              SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+              FROM words
+            ), bg AS (
+              SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g FROM pos
+            ), bstats AS (
+              SELECT doc_id, count(*) AS nb, count(DISTINCT g) AS db
+              FROM bg GROUP BY doc_id
+            ), tops AS (
+              SELECT doc_id, max(c) AS top FROM (
+                SELECT doc_id, word, count(*) AS c
+                FROM (SELECT doc_id, unnest(w) AS word FROM words)
+                GROUP BY doc_id, word
+              ) GROUP BY doc_id
+            )
+            SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words,
+                   round(b.types / CAST(b.n AS DOUBLE), 4) AS ttr,
+                   round(t.top / CAST(b.n AS DOUBLE), 4) AS top_word_frac,
+                   round((s.nb - s.db) / CAST(s.nb AS DOUBLE), 4) AS dup_bigram_frac
+            FROM base b JOIN tops t USING (doc_id) JOIN bstats s USING (doc_id)
+        """,
+        "text_length_hist": """
+            SELECT lang, CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(n_chars), 2) AS avg_chars
+            FROM documents GROUP BY 1, 2
+        """,
+        "corpus_bigram_topk": r"""
+            WITH words AS (
+              SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 w -> length(w) > 0) AS w
+              FROM documents
+            ), pos AS (
+              SELECT w, unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i FROM words
+            ), bg AS (
+              SELECT array_to_string(list_slice(w, i, i + 1), ' ') AS ngram FROM pos
+            )
+            SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM bg WHERE length(ngram) > 0
+            GROUP BY ngram ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
+        """,
+        "emb_centroids": """
+            SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   round(avg(v), 3) + 0.0 AS centroid
+            FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings)
+            GROUP BY 1, 2
+        """,
+        "emb_norm_stats": """
+            WITH n AS (
+              SELECT label,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings
+            )
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                   round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm,
+                   round(avg(nrm), 3) AS avg_norm
+            FROM n GROUP BY label
+        """,
+        "text_pii_scrub": _pii_oracle_sql(),
+        "hot_keys_topk": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 20
+        """,
+        "hot_keys_summary": """
+            WITH counts AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+            SELECT CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   round(avg(n), 2) AS mean_per_key,
+                   CAST(max(n) AS BIGINT) AS max_per_key,
+                   round(max(n) / avg(n), 2) AS skew_ratio,
+                   round(max(n) / CAST(sum(n) AS DOUBLE), 4) AS top1_frac
+            FROM counts
         """,
     }

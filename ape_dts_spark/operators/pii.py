@@ -1,0 +1,48 @@
+"""PII scrubbing for training-data pipelines — pure Column expressions.
+
+Redacts emails, phone-like digit runs, and IPv4 addresses from a text
+column, and reports per-document hit counts (the audit trail a data-
+governance pass needs).  Patterns are RE2-safe (no lookarounds) so the
+same regexes run on Spark (Java regex) and DuckDB/RE2 oracles.
+
+This runs in the extraction path at 10^10 scale: chained regexp_replace
+stays inside whole-stage codegen — no UDF, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9() .-]{7,}[0-9]"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def scrub_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+    ip_token: str = "<IP>",
+) -> DataFrame:
+    """-> (id, text_scrubbed, n_emails, n_phones, n_ips).
+
+    Replacement (and count) order is email -> ip -> phone, each counted on
+    the text AFTER the previous pass, so an IP's digit runs are never
+    double-counted as a phone number."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    after_email = F.regexp_replace(t, EMAIL_RE, email_token)
+    n_ips = F.size(F.regexp_extract_all(after_email, F.lit(IPV4_RE), 0))
+    after_ip = F.regexp_replace(after_email, IPV4_RE, ip_token)
+    n_phones = F.size(F.regexp_extract_all(after_ip, F.lit(PHONE_RE), 0))
+    scrubbed = F.regexp_replace(after_ip, PHONE_RE, phone_token)
+    return docs.select(
+        F.col(id_col),
+        scrubbed.alias("text_scrubbed"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ips.cast("long").alias("n_ips"),
+    )

@@ -1,0 +1,49 @@
+"""Stream/key profiling: the measurements that drive salting decisions.
+
+The north-rule job salts the url shuffle to defeat hot-domain skew; this
+module computes the evidence — per-key hotness and skew ratios over a
+change batch — so an operator (or a human) can pick `salt` /
+`files_per_bucket` from data instead of folklore.  Reference analog: the
+monitor's per-table rps counters (dt-common/src/monitor/), which are the
+only skew signal ape-dts exposes.
+
+All JVM-side aggregations; the report is O(distinct keys) reduced to
+top-k + scalars, so it is safe to run inline on every batch at 10^10
+events (it shares the batch's scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hot_key_report(
+    changes: DataFrame, key_col: str = "url", top_k: int = 20
+) -> tuple[DataFrame, DataFrame]:
+    """-> (top-k hot keys with counts, one-row skew summary).
+
+    Summary columns: n_events, n_keys, mean_per_key, max_per_key,
+    skew_ratio (max/mean — >buckets means one key floods a whole
+    bucket-task and salting is warranted), top1_frac.
+    """
+    counts = changes.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col(key_col).asc()).limit(top_k)
+    summary = counts.agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.avg("n"), 2).alias("mean_per_key"),
+        F.max("n").alias("max_per_key"),
+        F.round(F.max("n") / F.avg("n"), 2).alias("skew_ratio"),
+        F.round(F.max("n") / F.sum("n"), 4).alias("top1_frac"),
+    )
+    return top, summary
+
+
+def suggest_salt(summary_row, bucket_count: int, target_rows_per_task: int = 500_000) -> int:
+    """Salt factor suggestion from a hot_key_report summary row: enough
+    lanes that the hottest key's rows split below the target task size,
+    capped at 64 (beyond that, fix the bucket_count instead)."""
+    max_per_key = summary_row["max_per_key"] or 0
+    need = max(1, -(-int(max_per_key) // target_rows_per_task))
+    return min(64, need)

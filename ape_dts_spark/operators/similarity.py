@@ -292,3 +292,39 @@ def ivf_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid, one row per (label, dim): (label, dim, n_vecs,
+    centroid).  posexplode keeps the dimension index JVM-side; the shuffle
+    key (label, dim) has cardinality |labels| x dim — tiny and uniform, so
+    the agg scales as a pure map-side-combine pass over 10^10 vectors.
+    Building block for IVF training audits and per-cluster drift checks."""
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        # + 0.0 normalizes IEEE negative zero (an engine emitting -0.0 would
+        # hash-differ from +0.0 despite comparing equal)
+        (F.round(F.avg(F.col("v").cast("double")), 3) + F.lit(0.0)).alias("centroid"),
+    )
+
+
+def embedding_norm_stats(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label L2-norm profile — the standard embedding-table health
+    check (collapsed vectors, scale drift).  Norms are per-row sequential
+    folds (deterministic, engine-portable); min/max are order-independent;
+    avg is rounded below double-accumulation noise."""
+    norms = emb.select(F.col(label_col).alias("label"), _norm(F.col(vec_col)).alias("nrm"))
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.round(F.avg("nrm"), 3).alias("avg_norm"),
+    )

@@ -93,6 +93,93 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(F.col(id_col), pred.alias("pred_lang"), best["hits"].cast("long").alias("marker_hits"))
 
 
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    - ttr: type-token ratio (distinct words / words) — low = repetitive
+    - top_word_frac: share of the single most frequent word
+    - dup_bigram_frac: share of bigram occurrences that are repeats
+
+    ttr and dup_bigram_frac are pure array expressions (size vs
+    size∘array_distinct) — zero shuffle, whole-stage codegen.  top_word_frac
+    needs a per-(doc, word) count: one explode + two aggs, partitioned by
+    doc_id so it scales linearly with the corpus (no global state).
+    """
+    words = F.filter(_words(F.col(text_col)), lambda w: F.length(w) > 0)
+    n = F.size(words)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+    )
+    base = docs.select(
+        F.col(id_col),
+        words.alias("_w"),
+        n.alias("_n"),
+        F.size(F.array_distinct(words)).alias("_types"),
+        F.size(bigrams).alias("_nb"),
+        F.size(F.array_distinct(bigrams)).alias("_db"),
+    )
+    top = (
+        base.select(F.col(id_col), F.explode("_w").alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_top"))
+    )
+    return (
+        base.join(top, id_col)
+        .select(
+            F.col(id_col),
+            F.col("_n").cast("long").alias("n_words"),
+            F.round(F.col("_types") / F.col("_n"), 4).alias("ttr"),
+            F.round(F.col("_top") / F.col("_n"), 4).alias("top_word_frac"),
+            F.round((F.col("_nb") - F.col("_db")) / F.col("_nb"), 4).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def length_histogram(
+    docs: DataFrame, lang_col: str = "lang", chars_col: str = "n_chars", width: int = 50
+) -> DataFrame:
+    """Corpus length profile: (lang, bucket_lo, n_docs, avg_chars) — the
+    standard pre-training length-distribution audit.  One partial-agg
+    shuffle on (lang, bucket); avg over exact integer sums so it is
+    engine-portable bit-for-bit."""
+    bucket = (F.floor(F.col(chars_col) / width) * width).cast("long")
+    return (
+        docs.groupBy(F.col(lang_col).alias("lang"), bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(chars_col), 2).alias("avg_chars"),
+        )
+    )
+
+
+def corpus_ngram_topk(
+    docs: DataFrame, text_col: str = "text", k: int = 2, topn: int = 20
+) -> DataFrame:
+    """Corpus-wide top-N k-gram frequency (the boilerplate/contamination
+    scan).  Map-side: per-doc k-gram arrays (codegen).  One shuffle:
+    groupBy(ngram) with partial aggregation, then a global top-N — the
+    ordering key (count desc, ngram asc) is total, so the cut is
+    deterministic.  At 10^10 docs the groupBy output is vocabulary-sized
+    (<< corpus) and the top-N is a single reduce of per-partition heads."""
+    words = F.filter(_words(F.col(text_col)), lambda w: F.length(w) > 0)
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+    )
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .filter(F.length("ngram") > 0)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(topn)
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Content fingerprints: full-text digest, normalized digest (case/space
     insensitive), and a head fingerprint over the first 8 words — the cheap

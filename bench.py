@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "tpch_q3_top_orders",
     "ev_sessionize",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "ann_cosine_topk",
 ]
 

@@ -84,6 +84,8 @@ def run_cell(workdir, cores, extract):
     }
     if os.environ.get("PROBE_AQE_OFF"):
         extra["spark.sql.adaptive.enabled"] = "false"
+    if os.environ.get("PROBE_EXTRA_CONF"):
+        extra.update(json.loads(os.environ["PROBE_EXTRA_CONF"]))
     s = get_spark(
         f"cell{cores}", master=f"local[{cores}]",
         shuffle_partitions=int(os.environ.get("PROBE_SHUF", "64")),

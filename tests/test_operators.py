@@ -173,3 +173,97 @@ def test_multimodal_stub_plumbing(spark):
     assert meta[1] == meta2[1]
     plan = frame_sample_plan(media_metadata(docs))
     assert plan.count() >= 1
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A-B, B-C chain must collapse to one cluster even though A,C never
+    paired; an isolated pair stays its own cluster."""
+    from ape_dts_spark.operators.dedup_clusters import cluster_keep_list, connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 5), (5, 6), (4, 6)], ["a", "b"]
+    )
+    cc = connected_components(pairs).collect()
+    lbl = {r.doc_id: r.cluster_id for r in cc}
+    assert lbl[1] == lbl[2] == lbl[3] == 1
+    assert lbl[7] == lbl[9] == 7
+    assert lbl[4] == lbl[5] == lbl[6] == 4
+    keep = {r.cluster_id: (r.n_members, r.keeper)
+            for r in cluster_keep_list(connected_components(pairs)).collect()}
+    assert keep == {1: (3, 1), 7: (2, 7), 4: (3, 4)}
+
+
+def test_repetition_stats_values(spark):
+    from ape_dts_spark.operators.text_analysis import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    # doc 1: 4 words, 1 type, top word 4/4, bigrams [a a]x3 -> 1 distinct of 3
+    assert rows[1].n_words == 4 and rows[1].ttr == 0.25
+    assert rows[1].top_word_frac == 1.0
+    assert rows[1].dup_bigram_frac == round(2 / 3, 4)
+    # doc 2: all distinct
+    assert rows[2].ttr == 1.0 and rows[2].dup_bigram_frac == 0.0
+
+
+def test_corpus_ngram_topk_deterministic_cut(spark):
+    from ape_dts_spark.operators.text_analysis import corpus_ngram_topk
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y z"), (3, "q r")], ["doc_id", "text"]
+    )
+    top = corpus_ngram_topk(docs, topn=2).collect()
+    # ties at the cut broken by ngram asc: "q r" < "y x" < "y z"
+    assert [(r.ngram, r.n_occurrences) for r in top] == [("x y", 3), ("q r", 1)]
+
+
+def test_embedding_centroids_and_norms(spark):
+    from ape_dts_spark.operators.similarity import embedding_centroids, embedding_norm_stats
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [3.0, 4.0], 0), (3, [0.0, 2.0], 1)],
+        ["vec_id", "embedding", "label"],
+    )
+    cents = {(r.label, r.dim): r.centroid for r in embedding_centroids(emb).collect()}
+    assert cents[(0, 0)] == 2.0 and cents[(0, 1)] == 2.0 and cents[(1, 1)] == 2.0
+    norms = {r.label: r for r in embedding_norm_stats(emb).collect()}
+    assert norms[0].min_norm == 1.0 and norms[0].max_norm == 5.0 and norms[0].avg_norm == 3.0
+    assert norms[1].n_vecs == 1 and norms[1].max_norm == 2.0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from ape_dts_spark.operators.pii import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org today"),
+            (2, "server 192.168.1.10 answered"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "clean text only"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert rows[1].n_emails == 1 and "<EMAIL>" in rows[1].text_scrubbed
+    assert "bob.smith" not in rows[1].text_scrubbed
+    assert rows[2].n_ips == 1 and "<IP>" in rows[2].text_scrubbed
+    assert rows[2].n_phones == 0  # IP digits must not double-count as phone
+    assert rows[3].n_phones == 1 and "<PHONE>" in rows[3].text_scrubbed
+    assert rows[4].text_scrubbed == "clean text only"
+    assert (rows[4].n_emails, rows[4].n_phones, rows[4].n_ips) == (0, 0, 0)
+
+
+def test_hot_key_report_and_salt_suggestion(spark):
+    from ape_dts_spark.operators.profiling import hot_key_report, suggest_salt
+
+    rows = [("hot", i) for i in range(90)] + [(f"k{i}", i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["url", "lsn"])
+    top, summary = hot_key_report(df, key_col="url", top_k=3)
+    t = top.collect()
+    assert t[0].url == "hot" and t[0].n == 90
+    s = summary.collect()[0]
+    assert s.n_events == 100 and s.n_keys == 11 and s.max_per_key == 90
+    assert s.top1_frac == 0.9
+    assert suggest_salt(s, bucket_count=4, target_rows_per_task=30) == 3

@@ -122,3 +122,24 @@ def test_resolved_read_is_bucket_aligned_single_shuffle(spark, tmp_path):
     # and the resolved content is right
     got = {r["url"]: r["v"] for r in resolved.collect()}
     assert got["u1"] == 100 and "u2" not in got and got["zz"] == 7
+
+
+def test_corpus_topk_plan_is_take_ordered(spark):
+    """Global top-N must compile to TakeOrderedAndProject (per-partition
+    heads + single reduce), never a full global Sort of the vocabulary."""
+    from ape_dts_spark.operators.text_analysis import corpus_ngram_topk
+    from ape_dts_spark.plans.inspect import explain_str
+
+    docs = spark.createDataFrame([(1, "a b c a b"), (2, "b c d")], ["doc_id", "text"])
+    plan = explain_str(corpus_ngram_topk(docs, topn=5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_repetition_stats_array_side_is_shuffle_free(spark):
+    """ttr/dup_bigram_frac come from array expressions; the only exchanges
+    allowed are the per-doc top-word aggregation + its join back."""
+    from ape_dts_spark.operators.text_analysis import repetition_stats
+    from ape_dts_spark.plans.inspect import exchange_count
+
+    docs = spark.createDataFrame([(1, "a b c a b")], ["doc_id", "text"])
+    assert exchange_count(repetition_stats(docs)) <= 3

@@ -1,5 +1,7 @@
 """Structured Streaming tail: files arriving -> foreachBatch MERGE, resumable."""
 
+import os
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -49,3 +51,83 @@ def test_streaming_tail_converges_to_oracle(spark, tmp_path):
     assert list(got["last_lsn"]) == list(want["last_lsn"])
     for u, g, w in zip(got["url"], got["text"], want["text"]):
         assert g == w, f"text mismatch for {u}"
+
+
+def test_rate_monitor_windowed_counts(spark, tmp_path):
+    """Watermarked tumbling-window counters over a streamed change dir match
+    the batch groupBy over the same data (append mode, availableNow)."""
+    from ape_dts_spark.streaming.monitor import rate_monitor_frame, start_rate_monitor
+
+    changes_dir = str(tmp_path / "mon_changes")
+    ch = gen_changes(spark, 2000, 500, seed=7)
+    ch.write.parquet(changes_dir)
+
+    out = str(tmp_path / "mon_out")
+    q = start_rate_monitor(
+        spark,
+        changes_dir,
+        out_path=out,
+        checkpoint_dir=str(tmp_path / "mon_ckpt"),
+        window_duration="30 seconds",
+        watermark_delay="10 seconds",
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    expect = rate_monitor_frame(spark.read.parquet(changes_dir), window_duration="30 seconds")
+    # availableNow + watermark: the tail windows past the final watermark
+    # stay open (unemitted) — every EMITTED window must match batch exactly
+    exp = {
+        (r.window_start, r.op): (r.n_events, r.n_bytes) for r in expect.collect()
+    }
+    rows = got.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert exp[(r.window_start, r.op)] == (r.n_events, r.n_bytes)
+
+
+def test_stale_event_guard_drops_replayed_lsns(spark, tmp_path):
+    """Cross-batch state: batch 1 applies lsn<=100 per key; a replayed batch
+    carrying lsn<=100 events is filtered to only the genuinely new ones."""
+    import time
+
+    from ape_dts_spark.streaming.stateful import stale_event_guard
+
+    src = str(tmp_path / "guard_src")
+    out_dir = str(tmp_path / "guard_out")
+    ckpt = str(tmp_path / "guard_ckpt")
+    os.makedirs(src)
+
+    b1 = spark.createDataFrame(
+        [("u1", 10), ("u1", 100), ("u2", 50)], ["url", "lsn"]
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    guarded = stale_event_guard(stream, key_col="url", lsn_col="lsn")
+
+    def run_available(batch_writer_tag):
+        q = (
+            guarded.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_available("b1")
+    got1 = {(r.url, r.lsn) for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {("u1", 10), ("u1", 100), ("u2", 50)}
+
+    # replay: u1 re-delivers 90/100 (stale) plus 120 (new); u2 only stale
+    b2 = spark.createDataFrame(
+        [("u1", 90), ("u1", 100), ("u1", 120), ("u2", 40)], ["url", "lsn"]
+    )
+    time.sleep(1.1)  # distinct file mtime for the file-source log
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run_available("b2")
+    got2 = {(r.url, r.lsn) for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == got1 | {("u1", 120)}
