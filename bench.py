@@ -64,6 +64,38 @@ def _events_count(spark, sf_dir: str) -> int:
     return spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
 
+def write_bw_canary(procs: int = 4, mb_each: int = 256) -> float:
+    """Parallel tmpfs write canary (GB/s aggregate).  This sandbox's
+    hypervisor throttles aggregate parallel memory-write bandwidth in
+    multi-minute windows (~2x swing, measured with a 5-line no-Spark
+    writer; see BENCH/BASELINE.md round-2 addendum).  Payload-streaming
+    stages track it directly, so the bench records it: a low canary means
+    the wall-clock below reflects the platform window, not the engine."""
+    import multiprocessing as mp
+
+    def w(i, q):
+        buf = b"x" * (8 << 20)
+        t0 = time.monotonic()
+        try:
+            with open(f"/dev/shm/benchbw-{i}", "wb") as f:
+                for _ in range(mb_each // 8):
+                    f.write(buf)
+            os.remove(f"/dev/shm/benchbw-{i}")
+        except OSError:
+            q.put(-1.0)
+            return
+        q.put(time.monotonic() - t0)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=w, args=(i, q)) for i in range(procs)]
+    t0 = time.monotonic()
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return round(procs * mb_each / 1024 / (time.monotonic() - t0), 2)
+
+
 def prepare_input(spark, workdir: str, n_seed: int, n_events: int) -> dict:
     """Generate the deterministic CDC input once (shared across runs)."""
     changes_path = os.path.join(workdir, "changes")
@@ -188,10 +220,12 @@ def main():
         )
         return
 
+    bw0 = write_bw_canary()
     cdc = run_cdc(spark, workdir, paths, n_seed, tag=f"c{cpus}")
     # JVM-only rate (no per-event text extraction — the reference's own
     # workload shape does none, so this is the apples-to-apples RPS row)
     cdc_noex = run_cdc(spark, workdir, paths, n_seed, tag=f"nx{cpus}", extract=False)
+    bw1 = write_bw_canary()
     queries = run_queries(spark, sf_dir)
     print(
         json.dumps(
@@ -207,6 +241,11 @@ def main():
                 "mb_per_sec": cdc["mb_per_sec"],
                 "batches": cdc["batches"],
                 "final_rows": cdc["final_rows"],
+                # host parallel-write-bandwidth canary before/after the CDC
+                # runs (GB/s): <4 means the hypervisor's throttle window was
+                # active and wall-clock reflects the platform, not the engine
+                # (BENCH/BASELINE.md round-2 addendum)
+                "host_write_gbps": [bw0, bw1],
             }
         )
     )

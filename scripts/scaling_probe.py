@@ -159,6 +159,38 @@ def orchestrate(workdir, n_seed, n_events):
             s += i * i % 7
         return round(n / (time.monotonic() - t0) / 1e6, 1)
 
+    def bw_canary(procs: int = 4, mb_each: int = 256) -> float:
+        """PARALLEL write-bandwidth canary (GB/s aggregate, tmpfs).
+
+        The host throttles *aggregate parallel memory-write* bandwidth in
+        multi-minute windows (measured 2026-08-17: the same raw 16-proc
+        write test gave 6.8 GB/s, then 12.6 GB/s 40 min later, CPU canary
+        flat throughout; the e2e engine cell swung 7k -> 24k ev/s with
+        identical code+config).  The single-thread canary cannot see this
+        — a lone writer stays under even the throttled cap — so each cell
+        records this parallel canary too; reps landing in a throttled
+        window are identifiable and the per-level BEST is the
+        engine-attributable number."""
+        import multiprocessing as mp
+
+        def w(i, q):
+            buf = b"x" * (8 << 20)
+            t0 = time.monotonic()
+            with open(f"/dev/shm/bwcanary-{i}", "wb") as f:
+                for _ in range(mb_each // 8):
+                    f.write(buf)
+            os.remove(f"/dev/shm/bwcanary-{i}")
+            q.put(time.monotonic() - t0)
+
+        q = mp.Queue()
+        ps = [mp.Process(target=w, args=(i, q)) for i in range(procs)]
+        t0 = time.monotonic()
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        return round(procs * mb_each / 1024 / (time.monotonic() - t0), 2)
+
     results: dict = {}
     all_runs: dict = {}
     for rep in range(reps):
@@ -167,18 +199,21 @@ def orchestrate(workdir, n_seed, n_events):
         ):
             for cores in levels:
                 c0 = canary()
+                bw0 = bw_canary()
                 out = subprocess.run(
                     [sys.executable, __file__, "run", workdir, str(cores), str(extract)],
                     check=True, capture_output=True, text=True,
                 ).stdout.strip().splitlines()[-1]
                 r = json.loads(out)
                 r["canary_mops"] = c0
+                r["canary_wgbps"] = bw0
                 key = (extract, cores)
                 all_runs.setdefault(key, []).append(r["events_per_sec"])
                 if key not in results or r["events_per_sec"] > results[key]["events_per_sec"]:
                     results[key] = r
                 print(f"rep{rep} extract={extract} cores={cores}: "
-                      f"{r['events_per_sec']} ev/s ({r['wall_sec']}s) canary={c0}M", flush=True)
+                      f"{r['events_per_sec']} ev/s ({r['wall_sec']}s) canary={c0}M "
+                      f"wbw={bw0}GB/s", flush=True)
     lo, hi = levels[0], levels[-1]
     summary = {}
     for extract in tuple(
