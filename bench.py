@@ -184,8 +184,9 @@ def main():
         # steady state must dominate the headline number too: at 2x|events|
         # the 5-batch fixed overhead (job scheduling, commit, footers) was
         # ~half the wall and the artifact measured the constant, not the
-        # engine (round-1 verdict).  5x => ~1M events at sf0.1.
-        mult = int(os.environ.get("BENCH_EVENTS_MULT", "5"))
+        # engine (round-1 verdict).  10x => ~1M events at sf0.1, where the
+        # per-batch constant (~1.5s) is <20% of wall.
+        mult = int(os.environ.get("BENCH_EVENTS_MULT", "10"))
     n_seed, n_events = n_ev_table * mult // 2, n_ev_table * mult
     paths = prepare_input(spark, workdir, n_seed, n_events)
 
@@ -220,12 +221,14 @@ def main():
         )
         return
 
+    # measured BEFORE the runs: afterwards the live 48g JVM heap + tmpfs
+    # shuffle dirs put the box under page-reclaim pressure and the canary
+    # reads ~0.5 GB/s regardless of the hypervisor window — not a host signal
     bw0 = write_bw_canary()
     cdc = run_cdc(spark, workdir, paths, n_seed, tag=f"c{cpus}")
     # JVM-only rate (no per-event text extraction — the reference's own
     # workload shape does none, so this is the apples-to-apples RPS row)
     cdc_noex = run_cdc(spark, workdir, paths, n_seed, tag=f"nx{cpus}", extract=False)
-    bw1 = write_bw_canary()
     queries = run_queries(spark, sf_dir)
     print(
         json.dumps(
@@ -241,11 +244,11 @@ def main():
                 "mb_per_sec": cdc["mb_per_sec"],
                 "batches": cdc["batches"],
                 "final_rows": cdc["final_rows"],
-                # host parallel-write-bandwidth canary before/after the CDC
-                # runs (GB/s): <4 means the hypervisor's throttle window was
+                # host parallel-write-bandwidth canary before the CDC runs
+                # (GB/s): <4 means the hypervisor's throttle window was
                 # active and wall-clock reflects the platform, not the engine
                 # (BENCH/BASELINE.md round-2 addendum)
-                "host_write_gbps": [bw0, bw1],
+                "host_write_gbps": bw0,
             }
         )
     )

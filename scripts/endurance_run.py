@@ -1,0 +1,61 @@
+"""Endurance probe: a LONG change tail in many micro-batches.
+
+Validates what the short scaling cells cannot: that per-batch cost stays
+flat over a growing table (manifest segments stay O(tail), bounded
+compaction amortizes, no driver-side accumulation) — the property that
+decides whether the engine survives a 10^10-event tail.
+
+Usage: python scripts/endurance_run.py <workdir> <n_seed> <n_events> <cores> <n_batches>
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    workdir, n_seed, n_events, cores, n_batches = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), int(sys.argv[5])
+    )
+    os.sched_setaffinity(0, set(range(cores)))
+    from pyspark.sql import functions as F
+
+    from ape_dts_spark.functions.extract_text import extract_text_udf
+    from ape_dts_spark.lake.table import LakeTable
+    from ape_dts_spark.session import get_spark
+    from ape_dts_spark.sources.generator import PAGES_COLS, gen_changes, gen_ddl_events, gen_pages_seed
+    from ape_dts_spark.streaming.driver import CdcEngine, EngineConfig
+
+    s = get_spark(f"endurance-{cores}", master=f"local[{cores}]", shuffle_partitions=64,
+                  extra_conf={"spark.local.dir": f"/dev/shm/spark-endu"})
+    os.makedirs(workdir, exist_ok=True)
+    if not os.path.exists(f"{workdir}/changes"):
+        gen_changes(s, n_events, n_seed, seed=42).repartition(128).write.parquet(f"{workdir}/changes")
+        gen_ddl_events(s, n_events).write.parquet(f"{workdir}/ddl")
+    pp = f"{workdir}/pages"
+    for sfx in ("", "_checkpoints", "_lineage"):
+        shutil.rmtree(pp + sfx, ignore_errors=True)
+    t = LakeTable.create(pp, PAGES_COLS, bucket_key="url", bucket_count=64)
+    t.append(gen_pages_seed(s, n_seed, seed=42).withColumn("text", extract_text_udf(F.col("html"))))
+    cfg = EngineConfig(job_id="endurance", pages_path=pp, changes_path=f"{workdir}/changes",
+                       ddl_path=f"{workdir}/ddl", batch_lsn_width=n_events // n_batches)
+    eng = CdcEngine(s, cfg)
+    t0 = time.monotonic()
+    summ = eng.run()
+    wall = time.monotonic() - t0
+    n_files = len(t.refresh().manifest.files)
+    print(json.dumps({
+        "events": summ["events"], "batches": summ["batches"],
+        "wall_sec": round(wall, 1), "events_per_sec": round(summ["events"] / wall, 1),
+        "final_rows": t.read(s).count(), "live_data_files": n_files,
+        "batch_log": eng.batch_log,
+    }))
+    s.stop()
+
+
+if __name__ == "__main__":
+    main()
