@@ -142,10 +142,19 @@ def read_change_feed(
     key — exactly what the MERGE sink needs.  This is the read half of a
     feed-relay topology (engine A's feed -> engine B's change stream), the
     reference's kafka-extractor direction (dt-connector/src/extractor/kafka)."""
-    st = spark.createDataFrame([], payload_schema).schema
     df = spark.read.parquet(path)
     if topic is not None:
         df = df.filter(F.col("topic") == topic)
+    return parse_feed_frame(spark, df, payload_schema, key_col=key_col)
+
+
+def parse_feed_frame(
+    spark, df: DataFrame, payload_schema: str, key_col: str = "url"
+) -> DataFrame:
+    """(key, value) records -> engine change rows.  Transport-independent:
+    the directory feed, a Kafka source, or any (key,value) frame parse
+    identically — the envelope, not the pipe, is the contract."""
+    st = spark.createDataFrame([], payload_schema).schema
     parsed = df.select(
         F.col("key"), F.from_json(F.col("value"), FEED_ENVELOPE).alias("_v")
     )
@@ -164,6 +173,40 @@ def read_change_feed(
             *payload,
         )
     )
+
+
+def read_kafka_stream(
+    spark,
+    bootstrap_servers: str,
+    topics: str,
+    payload_schema: str,
+    key_col: str = "url",
+    **options,
+) -> DataFrame:
+    """Gated real-broker source (reference kafka extractor,
+    dt-connector/src/extractor/kafka/kafka_extractor.rs): Structured
+    Streaming Kafka source parsed through the same envelope as the
+    directory feed.  Untestable in this sandbox (no broker/connector jar);
+    raises a clear error instead of a py4j stack when absent.  The parse
+    half (parse_feed_frame) is transport-independent and fully tested via
+    the directory feed."""
+    try:
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topics)
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        raw = reader.load().selectExpr(
+            "CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value"
+        )
+    except Exception as e:  # pragma: no cover - no broker in sandbox
+        raise RuntimeError(
+            "kafka source unavailable (connector jar or broker missing); "
+            "use read_change_feed / FeedConsumer for the directory feed"
+        ) from e
+    return parse_feed_frame(spark, raw, payload_schema, key_col=key_col)
 
 
 def write_kafka(records: DataFrame, bootstrap_servers: str, **options) -> None:

@@ -140,3 +140,34 @@ def test_feed_consumer_fetch_ack_replay(spark, tmp_path):
     c2.ack("web.pages", 10**9)
     assert c2.fetch("web.pages") == []
     assert len(c2.fetch_full("web.pages")) == 300
+
+
+def test_kafka_source_gated_clear_error(spark):
+    """No broker/connector jar in this sandbox: the gated source must fail
+    with a clear RuntimeError, not a raw py4j stack."""
+    import pytest
+
+    from ape_dts_spark.operators.change_feed import read_kafka_stream
+
+    with pytest.raises(RuntimeError, match="kafka source unavailable"):
+        read_kafka_stream(spark, "localhost:9092", "pages", "url string, lang string")
+
+
+def test_parse_feed_frame_transport_independent(spark):
+    """The same (key,value) records parse identically whether they came from
+    the directory feed or any other transport."""
+    from ape_dts_spark.operators.change_feed import parse_feed_frame
+
+    recs = spark.createDataFrame(
+        [
+            ("u1", '{"position": 5, "operation": "update", "origin": "node1",'
+                   ' "after": "{\\"url\\": \\"u1\\", \\"lang\\": \\"en\\"}"}'),
+            ("u2", '{"position": 6, "operation": "delete", "origin": "node1", "after": null}'),
+        ],
+        ["key", "value"],
+    )
+    rows = {r.lsn: r for r in parse_feed_frame(
+        spark, recs, "url string, lang string").collect()}
+    assert rows[5].op == "update" and rows[5].url == "u1" and rows[5].lang == "en"
+    # delete: key recovered into the key col, payload NULL
+    assert rows[6].op == "delete" and rows[6].url == "u2" and rows[6].lang is None
