@@ -101,3 +101,52 @@ class Catalog:
         """TRUNCATE TABLE (ddl_type.rs TruncateTable) — delegates to the
         table-level metadata-only truncate."""
         return self.table(name).truncate()
+
+    # ------------------------------------------------------ database level
+
+    @staticmethod
+    def create_database(base_root: str, name: str, if_not_exists: bool = True) -> "Catalog":
+        """CREATE DATABASE (ddl_type.rs CreateDatabase/CreateSchema): a
+        database is a directory of catalog roots.  Idempotent by default —
+        the engine's crash-replay contract (re-applying a DDL after a crash
+        must be a no-op)."""
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"illegal database name {name!r}")
+        path = os.path.join(base_root, name)
+        if os.path.isdir(path):
+            if not if_not_exists:
+                raise FileExistsError(f"database {name!r} exists")
+            return Catalog(path)
+        os.makedirs(path, exist_ok=if_not_exists)
+        return Catalog(path)
+
+    @staticmethod
+    def drop_database(
+        base_root: str, name: str, if_exists: bool = False, cascade: bool = False
+    ) -> bool:
+        """DROP DATABASE (ddl_type.rs DropDatabase/DropSchema).  Non-cascade
+        refuses when tables remain (the SQL contract); cascade trash-hides
+        the whole directory first (atomic rename), then deletes — readers
+        never observe a half-dropped database."""
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"illegal database name {name!r}")
+        path = os.path.join(base_root, name)
+        if not os.path.isdir(path):
+            if if_exists:
+                return False
+            raise FileNotFoundError(f"database {name!r} does not exist")
+        tables = Catalog(path).list_tables()
+        if tables and not cascade:
+            raise ValueError(f"database {name!r} is not empty: {tables}; use cascade=True")
+        trash = os.path.join(base_root, f".trash-db-{uuid.uuid4().hex}")
+        os.rename(path, trash)
+        shutil.rmtree(trash, ignore_errors=True)
+        return True
+
+    @staticmethod
+    def list_databases(base_root: str) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(base_root)
+            if not d.startswith(".") and os.path.isdir(os.path.join(base_root, d))
+        ) if os.path.isdir(base_root) else []

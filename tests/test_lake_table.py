@@ -207,3 +207,28 @@ def test_manifest_segmentation_bounds_commit_size(spark, tmp_path, monkeypatch):
     assert live == other | {"k0"}
     # time travel through a segmented manifest still works
     assert t2.read_version(spark, v_pre).count() == 9 * 40
+
+
+def test_catalog_database_lifecycle(tmp_path):
+    """CREATE/DROP DATABASE (ddl_type.rs CreateDatabase/DropDatabase):
+    idempotent create, non-cascade refusal on non-empty, cascade drop."""
+    import pytest
+
+    from ape_dts_spark.lake.catalog import Catalog
+
+    base = str(tmp_path / "warehouse")
+    db = Catalog.create_database(base, "analytics")
+    # replay-idempotent
+    Catalog.create_database(base, "analytics")
+    with pytest.raises(FileExistsError):
+        Catalog.create_database(base, "analytics", if_not_exists=False)
+    assert Catalog.list_databases(base) == ["analytics"]
+
+    db.create_table("t1", [("id", "long"), ("v", "string")], bucket_key="id", bucket_count=2)
+    with pytest.raises(ValueError, match="not empty"):
+        Catalog.drop_database(base, "analytics")
+    assert Catalog.drop_database(base, "analytics", cascade=True)
+    assert Catalog.list_databases(base) == []
+    assert Catalog.drop_database(base, "analytics", if_exists=True) is False
+    with pytest.raises(FileNotFoundError):
+        Catalog.drop_database(base, "analytics")
