@@ -602,6 +602,13 @@ def q_dedup_clusters(spark, sf_dir):
     return connected_components(pairs)
 
 
+def q_dedup_cluster_keepers(spark, sf_dir):
+    """Per-cluster dedup decision table: member count + keeper (min id)."""
+    from ape_dts_spark.operators.dedup_clusters import cluster_keep_list
+
+    return cluster_keep_list(q_dedup_clusters(spark, sf_dir))
+
+
 def q_text_repetition(spark, sf_dir):
     from ape_dts_spark.operators.text_analysis import repetition_stats
 
@@ -728,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_metadata": q_media_metadata,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_cluster_keepers": q_dedup_cluster_keepers,
         "text_repetition": q_text_repetition,
         "text_length_hist": q_text_length_hist,
         "corpus_bigram_topk": q_corpus_bigram_topk,
@@ -1455,6 +1463,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "dedup_cluster_keepers": f"""
+            WITH RECURSIVE cand AS (
+              SELECT * FROM ({_minhash_oracle_sql()}) t
+            ), edges AS (
+              SELECT a AS src, b AS dst FROM cand
+              UNION
+              SELECT b AS src, a AS dst FROM cand
+            ), reach(node, lbl) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+            ), cc AS (
+              SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY node
+            )
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(min(doc_id) AS BIGINT) AS keeper
+            FROM cc GROUP BY cluster_id
         """,
         "text_repetition": r"""
             WITH words AS (
