@@ -38,6 +38,7 @@ def start_stream(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    stale_guard: bool = False,
 ):
     """Start the streaming tail; returns the StreamingQuery.
 
@@ -58,6 +59,14 @@ def start_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(cfg.changes_path)
+    if stale_guard:
+        # cross-batch per-key lsn high-watermark state: drops events an
+        # at-least-once upstream re-delivers below what an earlier batch
+        # already applied (streaming/stateful.py; the idempotent MERGE
+        # absorbs them anyway — this saves the merge probes)
+        from ape_dts_spark.streaming.stateful import stale_event_guard
+
+        stream = stale_event_guard(stream, key_col=cfg.key_col, lsn_col="lsn")
 
     def sink_batch(batch_df, batch_id: int):
         deduped = prepare_changes(pages.refresh(), batch_df, cfg)
@@ -81,7 +90,9 @@ def start_stream(
     writer = (
         stream.writeStream.foreachBatch(sink_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+        # foreachBatch applies the same MERGE either way; the declared mode
+        # just has to agree with the plan (applyInPandasWithState = append)
+        .outputMode("append" if stale_guard else "update")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

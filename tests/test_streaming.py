@@ -131,3 +131,44 @@ def test_stale_event_guard_drops_replayed_lsns(spark, tmp_path):
     run_available("b2")
     got2 = {(r.url, r.lsn) for r in spark.read.parquet(out_dir).collect()}
     assert got2 == got1 | {("u1", 120)}
+
+
+def test_streaming_tail_with_stale_guard_converges(spark, tmp_path):
+    """Same two-wave tail, stale_guard=True, with wave 2 REPLAYING all of
+    wave 1's files plus the new events (an at-least-once upstream): the
+    stateful guard drops the stale lsns and the final table still equals
+    the sequential oracle."""
+    changes_dir = str(tmp_path / "sg_changes")
+    all_changes = gen_changes(spark, N_EVENTS, N_SEED, seed=42)
+    all_changes.filter(F.col("lsn") <= 300).coalesce(1).write.mode("append").parquet(changes_dir)
+
+    pages_path = str(tmp_path / "sg_pages")
+    t = LakeTable.create(pages_path, PAGES_COLS, bucket_key="url", bucket_count=8)
+    t.append(
+        gen_pages_seed(spark, N_SEED, seed=42).withColumn("text", extract_text_udf(F.col("html")))
+    )
+    cfg = EngineConfig(
+        job_id="stream_sg",
+        pages_path=pages_path,
+        changes_path=changes_dir,
+        batch_lsn_width=10**9,
+    )
+    q = start_stream(spark, cfg, available_now=True, stale_guard=True)
+    q.awaitTermination(120)
+
+    # wave 2: a NEW file that re-delivers wave 1 (stale) plus the tail
+    import time
+
+    time.sleep(1.1)
+    all_changes.coalesce(1).write.mode("append").parquet(changes_dir)
+    q2 = start_stream(spark, cfg, available_now=True, stale_guard=True)
+    q2.awaitTermination(180)
+
+    got = t.refresh().read(spark).toPandas().sort_values("url").reset_index(drop=True)
+    want = oracle_replay(
+        gen_pages_seed(spark, N_SEED, seed=42).toPandas(),
+        pd.DataFrame(all_changes.toPandas()),
+        [],
+    )
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["last_lsn"]) == list(want["last_lsn"])
