@@ -609,6 +609,12 @@ def q_dedup_cluster_keepers(spark, sf_dir):
     return cluster_keep_list(q_dedup_clusters(spark, sf_dir))
 
 
+def q_text_quality_filter(spark, sf_dir):
+    from ape_dts_spark.operators.text_analysis import quality_filter
+
+    return quality_filter(_t(spark, sf_dir, "documents"))
+
+
 def q_text_repetition(spark, sf_dir):
     from ape_dts_spark.operators.text_analysis import repetition_stats
 
@@ -736,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "dedup_clusters": q_dedup_clusters,
         "dedup_cluster_keepers": q_dedup_cluster_keepers,
+        "text_quality_filter": q_text_quality_filter,
         "text_repetition": q_text_repetition,
         "text_length_hist": q_text_length_hist,
         "corpus_bigram_topk": q_corpus_bigram_topk,
@@ -1002,6 +1009,45 @@ sh AS (
   SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + {k} - 1), ' ') AS shingle
   FROM pos WHERE length(array_to_string(list_slice(w, i, i + {k} - 1), ' ')) > 0
 )
+"""
+
+
+_TEXT_QUALITY_SQL = r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> length(x) > 0) AS words,
+                     length(text) AS n_chars
+              FROM documents
+            ), m AS (
+              SELECT doc_id, n_chars, len(words) AS n_words,
+                     len(list_filter(words, x -> x IN ('the','a','of','and','to',
+                                                        'in','is','it','for','on')))
+                       AS stop_hits,
+                     n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                       AS punct_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+              FROM base
+            )
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   round(CASE WHEN n_words > 0 THEN n_chars * 1.0 / n_words
+                              ELSE 0.0 END, 4) AS mean_word_len,
+                   round(CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words
+                              ELSE 0.0 END, 4) AS stopword_ratio,
+                   round(CASE WHEN n_chars > 0 THEN punct_chars * 1.0 / n_chars
+                              ELSE 0.0 END, 4) AS punct_ratio,
+                   round(CASE WHEN n_chars > 0 THEN alpha_chars * 1.0 / n_chars
+                              ELSE 0.0 END, 4) AS alpha_ratio,
+                   round(least(n_words / 50.0, 1.0) * 0.4
+                         + least((CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words
+                                       ELSE 0.0 END) * 5.0, 1.0) * 0.2
+                         + (CASE WHEN n_chars > 0 THEN alpha_chars * 1.0 / n_chars
+                                 ELSE 0.0 END) * 0.2
+                         + (1.0 - least((CASE WHEN n_chars > 0
+                                              THEN punct_chars * 1.0 / n_chars
+                                              ELSE 0.0 END) * 4.0, 1.0)) * 0.2,
+                         4) AS quality_score
+            FROM m
 """
 
 
@@ -1354,42 +1400,21 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars
             FROM documents
         """,
-        "text_quality": r"""
-            WITH base AS (
-              SELECT doc_id, text,
-                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                 x -> length(x) > 0) AS words,
-                     length(text) AS n_chars
-              FROM documents
-            ), m AS (
-              SELECT doc_id, n_chars, len(words) AS n_words,
-                     len(list_filter(words, x -> x IN ('the','a','of','and','to',
-                                                        'in','is','it','for','on')))
-                       AS stop_hits,
-                     n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g'))
-                       AS punct_chars,
-                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
-              FROM base
-            )
-            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-                   round(CASE WHEN n_words > 0 THEN n_chars * 1.0 / n_words
-                              ELSE 0.0 END, 4) AS mean_word_len,
-                   round(CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words
-                              ELSE 0.0 END, 4) AS stopword_ratio,
-                   round(CASE WHEN n_chars > 0 THEN punct_chars * 1.0 / n_chars
-                              ELSE 0.0 END, 4) AS punct_ratio,
-                   round(CASE WHEN n_chars > 0 THEN alpha_chars * 1.0 / n_chars
-                              ELSE 0.0 END, 4) AS alpha_ratio,
-                   round(least(n_words / 50.0, 1.0) * 0.4
-                         + least((CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words
-                                       ELSE 0.0 END) * 5.0, 1.0) * 0.2
-                         + (CASE WHEN n_chars > 0 THEN alpha_chars * 1.0 / n_chars
-                                 ELSE 0.0 END) * 0.2
-                         + (1.0 - least((CASE WHEN n_chars > 0
-                                              THEN punct_chars * 1.0 / n_chars
-                                              ELSE 0.0 END) * 4.0, 1.0)) * 0.2,
-                         4) AS quality_score
-            FROM m
+        "text_quality": _TEXT_QUALITY_SQL,
+        "text_quality_filter": f"""
+            WITH q AS ({_TEXT_QUALITY_SQL})
+            SELECT doc_id,
+                   (CASE WHEN n_words < 60 THEN 'too_short'
+                         WHEN stopword_ratio < 0.03 THEN 'low_stopword'
+                         WHEN punct_ratio > 0.2 THEN 'high_punct'
+                         WHEN alpha_ratio < 0.5 THEN 'low_alpha'
+                    END) IS NULL AS keep,
+                   CASE WHEN n_words < 60 THEN 'too_short'
+                        WHEN stopword_ratio < 0.03 THEN 'low_stopword'
+                        WHEN punct_ratio > 0.2 THEN 'high_punct'
+                        WHEN alpha_ratio < 0.5 THEN 'low_alpha'
+                   END AS drop_reason
+            FROM q
         """,
         "text_langid": r"""
             WITH m AS (

@@ -93,6 +93,37 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(F.col(id_col), pred.alias("pred_lang"), best["hits"].cast("long").alias("marker_hits"))
 
 
+def quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 60,
+    min_stop_ratio: float = 0.03,
+    max_punct_ratio: float = 0.2,
+    min_alpha_ratio: float = 0.5,
+) -> DataFrame:
+    """C4/Gopher-style keep/drop decision over the quality signals.
+
+    -> (id, keep, drop_reason): first failing rule wins, in a fixed order
+    (too_short -> low_stopword -> high_punct -> low_alpha), reason NULL for
+    keepers.  Built on quality_score's ROUNDED signals so the decision is
+    bit-reproducible across engines; pure Column expressions on top of the
+    same single-pass scan."""
+    q = quality_score(docs, id_col, text_col)
+    reason = (
+        F.when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("stopword_ratio") < min_stop_ratio, F.lit("low_stopword"))
+        .when(F.col("punct_ratio") > max_punct_ratio, F.lit("high_punct"))
+        .when(F.col("alpha_ratio") < min_alpha_ratio, F.lit("low_alpha"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return q.select(
+        F.col(id_col),
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals per document.
 
