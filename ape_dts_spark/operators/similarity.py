@@ -73,6 +73,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 3,
     planes_per_table: int = 4,
     seed: int = 42,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cos_sim) with
     cos_sim >= threshold and a < b.
@@ -88,6 +89,18 @@ def embedding_near_dup_pairs(
     shuffle; scoring is JVM-side (aggregate/zip_with), norms precomputed
     once per side.  Planes are hash-derived (no RNG state), so SQL oracles
     reproduce the buckets bit-for-bit.
+
+    ``max_bucket`` caps the per-bucket all-pairs join: in an oversized
+    bucket (the 10^4-identical-vectors case — a dedup operator's hottest
+    input), only the first ``max_bucket`` members (by id) pair all-to-all;
+    every EXCESS member pairs with the bucket's min-id anchor instead
+    (star augmentation).  Per-bucket work drops from O(M^2) to
+    O(cap^2 + M) while cluster-level recall survives for exactly the case
+    that creates megabuckets — (near-)identical vectors score ~1.0 against
+    the anchor, so downstream connected-components still collapses the
+    whole set.  Deterministic (id order); None disables.  The sf-dir
+    oracle mirrors the uncapped semantics: its bucket sizes never reach
+    the cap (the skew unit test covers the capped branch).
     """
     tables = [random_hyperplanes(dim, planes_per_table, seed + t) for t in range(n_tables)]
     base = df.select(
@@ -99,15 +112,41 @@ def embedding_near_dup_pairs(
     exploded = base.select(
         F.col(id_col), F.col("_v"), F.col("_n"), F.posexplode(buckets).alias("_tbl", "_bkt")
     )
-    left = exploded.select(
+    excess = None
+    if max_bucket is not None:
+        wb = Window.partitionBy("_tbl", "_bkt").orderBy(F.col(id_col).asc())
+        exploded = exploded.withColumn("_rn", F.row_number().over(wb))
+        core = exploded.filter(F.col("_rn") <= max_bucket)
+        excess = exploded.filter(F.col("_rn") > max_bucket)
+    else:
+        core = exploded
+    left = core.select(
         F.col(id_col).alias("a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"),
         "_tbl", "_bkt",
     )
-    right = exploded.select(
+    right = core.select(
         F.col(id_col).alias("b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
         "_tbl", "_bkt",
     )
-    pairs = left.join(right, ["_tbl", "_bkt"]).filter(F.col("a") < F.col("b"))
+    pairs = (
+        left.join(right, ["_tbl", "_bkt"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "_va", "_na", "_vb", "_nb")
+    )
+    if excess is not None:
+        anchors = core.filter(F.col("_rn") == 1).select(
+            "_tbl", "_bkt",
+            F.col(id_col).alias("a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+        )
+        star = (
+            excess.select(
+                "_tbl", "_bkt",
+                F.col(id_col).alias("b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+            )
+            .join(anchors, ["_tbl", "_bkt"])
+            .select("a", "b", "_va", "_na", "_vb", "_nb")
+        )
+        pairs = pairs.union(star)
     sim = (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cos_sim")
     # same pair from several tables yields the identical sim value -> distinct
     return pairs.select("a", "b", sim).filter(F.col("cos_sim") >= threshold).distinct()
