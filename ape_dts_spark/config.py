@@ -27,11 +27,13 @@ user's mental model maps 1:1:
     pages_path=/data/pages
     merge_mode=mor                      ; mor | cow
     compact_ratio=0.5
+    catalog_root=/data/db               ; enables in-stream table-lifecycle DDL
 
     [pipeline]
     job_id=job1
     checkpoints_path=/data/checkpoints
     lineage_path=/data/lineage
+    max_rps=50000                       ; token-bucket pacing cap (0 = off)
 
     [processor]
     transform=my_pkg.hooks:clean_rows   ; Lua-processor analog: vectorized
@@ -99,4 +101,6 @@ def load_task_config(path_or_text: str, is_text: bool = False) -> EngineConfig:
         merge_mode=snk.get("merge_mode", "mor"),
         compact_ratio=float(snk.get("compact_ratio", "0.5")),
         transform=prc.get("transform") or None,
+        catalog_root=snk.get("catalog_root") or None,
+        max_rps=int(ppl.get("max_rps", "0")),
     )

@@ -36,7 +36,7 @@ class Catalog:
         os.makedirs(root, exist_ok=True)
 
     def _path(self, name: str) -> str:
-        if "/" in name or name.startswith("."):
+        if not name or "/" in name or name.startswith("."):
             raise ValueError(f"illegal table name {name!r}")
         return os.path.join(self.root, name)
 
@@ -110,7 +110,7 @@ class Catalog:
         database is a directory of catalog roots.  Idempotent by default —
         the engine's crash-replay contract (re-applying a DDL after a crash
         must be a no-op)."""
-        if "/" in name or name.startswith("."):
+        if not name or "/" in name or name.startswith("."):
             raise ValueError(f"illegal database name {name!r}")
         path = os.path.join(base_root, name)
         if os.path.isdir(path):
@@ -128,7 +128,9 @@ class Catalog:
         refuses when tables remain (the SQL contract); cascade trash-hides
         the whole directory first (atomic rename), then deletes — readers
         never observe a half-dropped database."""
-        if "/" in name or name.startswith("."):
+        # the empty string must be illegal too: '' resolves to base_root
+        # itself and a cascade drop would delete the entire warehouse
+        if not name or "/" in name or name.startswith("."):
             raise ValueError(f"illegal database name {name!r}")
         path = os.path.join(base_root, name)
         if not os.path.isdir(path):

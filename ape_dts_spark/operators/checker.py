@@ -106,3 +106,25 @@ def revise(changes: DataFrame, check_df: DataFrame, key_cols: list[str]) -> Data
     """Restrict the change stream to miss/diff keys (left-semi) for re-MERGE."""
     keys = revise_keys(check_df, key_cols)
     return changes.join(F.broadcast(keys), on=key_cols, how="left_semi")
+
+
+def review(
+    source: DataFrame,
+    target: DataFrame,
+    prior_check: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """The reference's `review` task type (check -> revise -> review flow,
+    docs/en/snapshot/review_data.md; check_log re-read in
+    mysql_check_extractor.rs:50-60): after a revise pass, re-check ONLY the
+    keys the prior check flagged, confirming the revise fixed them.
+
+    Scale shape: the re-check is a left-semi prune of both sides to the
+    flagged keys (broadcast — the flagged set is small by construction)
+    followed by the same single full-outer-join classification as check().
+    """
+    keys = prior_check.filter(F.col("check_result").isin("miss", "diff")).select(*key_cols)
+    s = source.join(F.broadcast(keys), on=key_cols, how="left_semi")
+    t = target.join(F.broadcast(keys), on=key_cols, how="left_semi")
+    return check(s, t, key_cols, compare_cols=compare_cols)

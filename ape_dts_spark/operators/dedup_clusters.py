@@ -52,6 +52,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    changed = 1
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
@@ -79,6 +80,18 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # the fixpoint was NOT reached: a graph with diameter > max_iters
+        # (long chains, not the near-clique LSH shape) would silently return
+        # split clusters — surface it instead of diverging from the oracle
+        import warnings
+
+        warnings.warn(
+            f"connected_components: label propagation still changing after "
+            f"max_iters={max_iters} rounds — clusters may be split; raise "
+            f"max_iters for long-chain graphs",
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

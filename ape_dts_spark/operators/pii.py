@@ -15,7 +15,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+?[0-9][0-9() .-]{7,}[0-9]"
+# Phone shapes, most-specific first (both Java regex and RE2 use leftmost-
+# first alternation, so ordering is part of the cross-engine contract):
+#   1. +cc with separated groups:  +1 (555) 123-4567, +44 20 7946 0958
+#   2. bare international:         +14155551234  (8-14 digits after +)
+#   3. punctuated groups:          555-000-1234, (555).123.4567
+#   4. bare digit run:             9-12 digits, word-bounded
+# Space-only separated digit pairs ('1914 1918', ID lists) and short runs
+# are NOT matched — the round-2 pattern redacted any >=9-char digit/space
+# run, which was lossy for ordinary numeric text.
+PHONE_RE = (
+    r"\+[0-9]{1,3}[ .-]?\(?[0-9]{1,4}\)?([ .-][0-9]{2,5}){1,4}"
+    r"|\+[0-9]{8,14}"
+    r"|\(?[0-9]{3,4}\)?[.-][0-9]{3,4}[.-][0-9]{3,5}"
+    r"|\b[0-9]{9,12}\b"
+)
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 

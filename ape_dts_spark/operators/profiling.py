@@ -42,8 +42,21 @@ def hot_key_report(
 
 def suggest_salt(summary_row, bucket_count: int, target_rows_per_task: int = 500_000) -> int:
     """Salt factor suggestion from a hot_key_report summary row: enough
-    lanes that the hottest key's rows split below the target task size,
-    capped at 64 (beyond that, fix the bucket_count instead)."""
+    lanes that the hottest key's rows split below the target task size.
+
+    Capped at min(64, bucket_count): salt multiplies lanes *per bucket*, so
+    more salt lanes than buckets adds shuffle fan-out without adding sink
+    parallelism — past that, raise the table's bucket_count instead (a
+    warning says so when the hot key needs more lanes than the cap)."""
     max_per_key = summary_row["max_per_key"] or 0
     need = max(1, -(-int(max_per_key) // target_rows_per_task))
-    return min(64, need)
+    cap = min(64, max(1, bucket_count))
+    if need > cap:
+        import warnings
+
+        warnings.warn(
+            f"hot key needs {need} lanes but salt is capped at {cap} "
+            f"(bucket_count={bucket_count}); raise bucket_count to split further",
+            stacklevel=2,
+        )
+    return min(cap, need)

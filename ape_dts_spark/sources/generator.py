@@ -198,7 +198,11 @@ def gen_changes(
 
 
 def gen_ddl_events(
-    spark: SparkSession, n_events: int, start_lsn: int = 1, kinds: str = "basic"
+    spark: SparkSession,
+    n_events: int,
+    start_lsn: int = 1,
+    kinds: str = "basic",
+    table_name: str = "pages",
 ) -> DataFrame:
     """Schema-evolution events mid-stream (FIXTURES.md §3).
 
@@ -207,6 +211,11 @@ def gen_ddl_events(
     ddl_test/src_test.sql): add_column, rename_column, truncate_table,
     widen_column, drop_column — interleaved so each fires in a different
     micro-batch with live traffic on both sides.
+    kinds="lifecycle": table-level replay set (ddl_type.rs CreateTable/
+    RenameTable/DropTable, ddl_test/src_test.sql:1-60): create an aux
+    table, rename the bound table (`table_name` -> `table_name`_v2) with
+    live traffic continuing under the new root, then drop the aux table —
+    each in its own micro-batch.  Requires EngineConfig.catalog_root.
     """
     if kinds == "basic":
         rows = [
@@ -229,6 +238,26 @@ def gen_ddl_events(
                 '{"col":"fetch_status","to_type":"long"}',
             ),
             (start_lsn + int(n_events * 0.85), "drop_column", '{"col":"warc_ts"}'),
+        ]
+    elif kinds == "lifecycle":
+        aux_cols = '[["url","string",false],["note","string",true],["last_lsn","long",true]]'
+        rows = [
+            (
+                start_lsn + int(n_events * 0.3),
+                "create_table",
+                '{"table":"%s_aux","cols":%s,"bucket_key":"url","bucket_count":4}'
+                % (table_name, aux_cols),
+            ),
+            (
+                start_lsn + int(n_events * 0.5),
+                "rename_table",
+                '{"from":"%s","to":"%s_v2"}' % (table_name, table_name),
+            ),
+            (
+                start_lsn + int(n_events * 0.7),
+                "drop_table",
+                '{"table":"%s_aux"}' % table_name,
+            ),
         ]
     else:
         raise ValueError(f"unknown kinds {kinds!r}")

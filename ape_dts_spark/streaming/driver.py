@@ -118,6 +118,23 @@ class EngineConfig:
     # the per-batch maintenance stall and amortizes compaction across the
     # tail instead of a whole-table stop-the-world rewrite
     compact_max_buckets: int = 16
+    # catalog directory for in-stream table-lifecycle DDL (reference
+    # ddl_type.rs:7-36 CreateTable/DropTable/RenameTable/Create+DropDatabase,
+    # replayed as change events in ddl_test/src_test.sql:1-60).  When set,
+    # those ddl_types dispatch to lake.catalog.Catalog(catalog_root); when
+    # None (single-table task, no catalog), they raise — a stream carrying
+    # lifecycle DDL needs the catalog layer.  NOTE: a task whose bound table
+    # can be renamed mid-stream should pin checkpoints_path/lineage_path
+    # explicitly — the pages_path-derived defaults would re-derive differently
+    # after a restart under the new name.
+    catalog_root: str | None = None
+    # token-bucket pacing cap, events/sec (reference max_rps,
+    # dt-parallelizer/src/base_parallelizer.rs:70-79: drain at most
+    # max_rps/batch_interval records per tick).  0 disables.  Spark-native
+    # pacing is the batch_lsn_width cap; max_rps adds wall-clock pacing on
+    # top: after a batch of R events, sleep until R/max_rps seconds have
+    # elapsed since the batch started.
+    max_rps: int = 0
     # test hook: callable(stage: str, batch_id: int) that may raise to
     # simulate a crash at a precise point ("post_merge", "post_checkpoint")
     crash_hook: object | None = None
@@ -226,6 +243,9 @@ class CdcEngine:
     def __init__(self, spark: SparkSession, cfg: EngineConfig):
         self.spark = spark
         self.cfg = cfg
+        self.stopped_reason: str | None = None
+        if not LakeTable.exists(cfg.pages_path) and cfg.catalog_root:
+            self._adopt_renamed_table()
         self.pages = LakeTable.load(cfg.pages_path)
         cp = cfg.checkpoints_path or cfg.pages_path.rstrip("/") + "_checkpoints"
         ln = cfg.lineage_path or cfg.pages_path.rstrip("/") + "_lineage"
@@ -242,10 +262,32 @@ class CdcEngine:
             "ddl_records": 0,
             "batches": 0,
         }
-        self._ddls = self._load_ddls()
+        self._ddls = getattr(self, "_ddls", None) or self._load_ddls()
         self.batch_log: list[dict] = []  # per-batch stage timings (profiling)
 
     # ------------------------------------------------------------- positions
+
+    def _adopt_renamed_table(self) -> None:
+        """Crash-replay contract for in-stream RENAME TABLE: a restart whose
+        config still names the pre-rename table must adopt the renamed one
+        (the reference reloads table meta from the target after replaying the
+        DDL, refresh_meta).  Walk the stream's rename chain from the
+        configured name and re-point at the furthest name that exists."""
+        import os
+
+        name = os.path.basename(self.cfg.pages_path.rstrip("/"))
+        chain = [name]
+        self._ddls = self._load_ddls()
+        for d in self._ddls:
+            if d["ddl_type"] == "rename_table":
+                p = json.loads(d["payload"])
+                if p.get("from") == chain[-1]:
+                    chain.append(p["to"])
+        for cand in reversed(chain[1:]):
+            cand_path = os.path.join(self.cfg.catalog_root, cand)
+            if LakeTable.exists(cand_path):
+                self.cfg.pages_path = cand_path
+                return
 
     def _load_ddls(self) -> list[dict]:
         if not self.cfg.ddl_path:
@@ -288,7 +330,7 @@ class CdcEngine:
             end = max(end, max(pending_ddl_lsns))
         batch_id = last_batch
         n = 0
-        while hwm < end:
+        while hwm < end and self.stopped_reason is None:
             if max_batches is not None and n >= max_batches:
                 break
             batch_id += 1
@@ -298,7 +340,17 @@ class CdcEngine:
             if ddl is not None and ddl["lsn"] <= hi:
                 hi = ddl["lsn"]  # DDL barrier caps the batch (changes lsn <= L first)
                 barrier = ddl
+            tb0 = time.monotonic()
+            before = self.metrics["record_count"]
             self._apply_batch(batch_id, hwm, hi, barrier)
+            if self.cfg.max_rps > 0:
+                # token-bucket pacing (reference max_rps): this batch's R
+                # events entitle it to R/max_rps seconds of wall; sleep off
+                # any surplus so sustained rate never exceeds the cap
+                quota = (self.metrics["record_count"] - before) / self.cfg.max_rps
+                surplus = quota - (time.monotonic() - tb0)
+                if surplus > 0:
+                    time.sleep(surplus)
             hwm = hi
             n += 1
         wall = time.monotonic() - t0
@@ -309,6 +361,7 @@ class CdcEngine:
             "wall_sec": wall,
             "events_per_sec": (self.metrics["record_count"] / wall) if wall > 0 else 0.0,
             "metrics": dict(self.metrics),
+            "stopped_reason": self.stopped_reason,
         }
 
     # ------------------------------------------------------------- one batch
@@ -440,16 +493,27 @@ class CdcEngine:
         )
         self._hook("post_checkpoint", batch_id)
 
+    LIFECYCLE_DDL = frozenset(
+        {"create_table", "drop_table", "rename_table", "create_database", "drop_database"}
+    )
+
     def _apply_ddl(self, ddl: dict) -> None:
-        """Apply a schema-evolution event; idempotent so crash replay is safe
-        (reference refresh_meta after DDL, mysql_sinker.rs:123-128).
+        """Apply a schema-evolution or table-lifecycle event; idempotent so
+        crash replay is safe (reference refresh_meta after DDL,
+        mysql_sinker.rs:123-128).
 
         Covered kinds (reference ddl_type.rs:7-36): add/rename/widen/drop
-        column plus truncate_table on the replicated table.  Table-level
-        create/drop/rename live on lake.catalog.Catalog (a change stream is
-        bound to one table; table lifecycle is the task runner's layer)."""
+        column and truncate_table on the replicated table, plus — when
+        cfg.catalog_root is set — create/drop/rename_table and create/drop_
+        database replayed through lake.catalog.Catalog (reference replay
+        coverage dt-tests/tests/mysql_to_mysql/cdc/ddl_test/src_test.sql:
+        1-60).  Dropping the bound table ends this stream (stopped_reason);
+        renaming it re-points the engine at the new root, mid-run and — via
+        _adopt_renamed_table — across restarts."""
         p = json.loads(ddl["payload"])
         t = ddl["ddl_type"]
+        if t in self.LIFECYCLE_DDL:
+            return self._apply_lifecycle_ddl(t, p)
         try:
             if t == "add_column":
                 self.pages.add_column(p["col"], p["type"])
@@ -462,7 +526,12 @@ class CdcEngine:
             elif t == "truncate_table":
                 # naturally idempotent: re-truncating after a crash replay
                 # re-commits the same (empty) visible state
-                self.pages.truncate()
+                if p.get("table") and p["table"] != self._bound_table_name():
+                    from ape_dts_spark.lake.catalog import Catalog
+
+                    Catalog(self._require_catalog_root(t)).truncate_table(p["table"])
+                else:
+                    self.pages.truncate()
             else:
                 raise ValueError(f"unknown ddl_type {t}")
         except ValueError as e:
@@ -475,6 +544,62 @@ class CdcEngine:
             if already_applied:
                 return
             raise
+
+    def _bound_table_name(self) -> str:
+        import os
+
+        return os.path.basename(self.cfg.pages_path.rstrip("/"))
+
+    def _require_catalog_root(self, ddl_type: str) -> str:
+        if not self.cfg.catalog_root:
+            raise ValueError(
+                f"ddl_type {ddl_type!r} needs EngineConfig.catalog_root: table/"
+                "database lifecycle events dispatch to the catalog layer"
+            )
+        return self.cfg.catalog_root
+
+    def _apply_lifecycle_ddl(self, t: str, p: dict) -> None:
+        """create/drop/rename_table + create/drop_database via the Catalog.
+        Every branch is replay-idempotent (if_not_exists / if_exists / the
+        rename already-applied contract) — re-applying after a crash between
+        DDL commit and checkpoint write is a no-op."""
+        import os
+
+        from ape_dts_spark.lake.catalog import Catalog
+
+        root = self._require_catalog_root(t)
+        cat = Catalog(root)
+        bound = self._bound_table_name()
+        if t == "create_table":
+            cols = [tuple(c) for c in p["cols"]]
+            cat.create_table(
+                p["table"],
+                cols,
+                bucket_key=p.get("bucket_key"),
+                bucket_count=int(p.get("bucket_count", 16)),
+                if_not_exists=True,
+            )
+        elif t == "drop_table":
+            cat.drop_table(p["table"], if_exists=True)
+            if p["table"] == bound:
+                # the replicated table is gone: this change stream ends
+                # (reference: DropTable on the task's table ends its lane)
+                self.stopped_reason = f"table {bound} dropped at ddl replay"
+        elif t == "rename_table":
+            cat.rename_table(p["from"], p["to"], if_exists=True)
+            if p["from"] == bound:
+                # re-point the engine at the renamed root (refresh_meta)
+                self.cfg.pages_path = os.path.join(root, p["to"])
+                self.pages = LakeTable.load(self.cfg.pages_path)
+        elif t == "create_database":
+            Catalog.create_database(os.path.dirname(root.rstrip("/")), p["db"])
+        elif t == "drop_database":
+            Catalog.drop_database(
+                os.path.dirname(root.rstrip("/")),
+                p["db"],
+                if_exists=True,
+                cascade=bool(p.get("cascade", False)),
+            )
 
     def _write_lineage(self, batch_id, lo, hi, stats, input_records, t0) -> None:
         per_bucket = [

@@ -39,6 +39,28 @@ def test_checker_classifies_miss_diff_extra(spark):
     assert sorted(r["k"] for r in rev.collect()) == [2, 3]
 
 
+def test_review_after_revise(spark):
+    """check -> revise -> review task flow (reference review task type):
+    review re-checks ONLY the previously-flagged keys, confirming fixes and
+    still reporting unfixed ones."""
+    from ape_dts_spark.operators.checker import review
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    tgt = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    prior = check(src, tgt, ["k"])
+    # simulate a revise that fixed key 2 but not key 3
+    tgt_revised = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    out = {r["k"]: r["check_result"] for r in review(src, tgt_revised, prior, ["k"]).collect()}
+    # only the flagged keys (2 miss->fixed, 3 still missing) are re-checked
+    assert out == {2: "match", 3: "miss"}
+
+
 def test_wildcard_match_reference_semantics():
     # reference rdb_filter.rs wildcard dialect: * ? with escapes
     assert wildcard_match("web_*", "web_pages")
