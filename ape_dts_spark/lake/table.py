@@ -389,19 +389,45 @@ class LakeTable:
 
     # ---------------------------------------------------------------- write
 
+    @staticmethod
+    def _footer_rows(path: str) -> int:
+        """Exact row count from the parquet footer — a driver-side metadata
+        read (no Spark job, no data pages).  This is the Iceberg-manifest
+        `record_count` analog: at cluster scale the writer tasks report these
+        counts in commit metadata; locally the footer is the same source."""
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(path).num_rows
+
     def _stage_write(
         self,
         df: DataFrame,
         with_bucket_col: bool,
         kind: str = "base",
         pre_clustered: bool = False,
+        split_deletes: bool = False,
     ) -> list[dict]:
-        """Write df to a staging dir and move data files under data/; returns file entries.
+        """Write df to a staging dir and move data files under data/; returns
+        file entries carrying exact per-file `rows` (parquet footer counts).
 
         pre_clustered=True promises the caller already hash-partitioned df by
         BUCKET_COL (e.g. the bucket-aligned dedup window), so the write needs
-        no exchange — each bucket is whole within one task."""
+        no exchange — each bucket is whole within one task.
+
+        split_deletes=True (delta writes) additionally partitions the staging
+        write by a derived `_dl` flag (1 = delete marker) so each bucket's
+        upserts and deletes land in separate files and the manifest entries
+        carry exact per-bucket (rows, deletes) — the per-lane counters the
+        engine's lineage needs, at zero extra passes.  `_op` itself stays a
+        data column (the MOR read path needs it); only the derived flag is
+        consumed by the directory layout."""
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        part_cols = [BUCKET_COL] if with_bucket_col else []
+        if split_deletes:
+            df = df.withColumn(
+                "_dl", F.when(F.col(OP_MARKER_COL) == "delete", F.lit(1)).otherwise(F.lit(0))
+            )
+            part_cols.append("_dl")
         if with_bucket_col and not pre_clustered:
             # cluster by bucket so each bucket is written by one task -> one
             # file (otherwise every input partition emits a file per bucket:
@@ -409,50 +435,47 @@ class LakeTable:
             # files_per_bucket via a salt term to honor a target file size.
             df = df.repartition(self.manifest.bucket_count, F.col(BUCKET_COL))
         writer = df.write.mode("overwrite")
-        if with_bucket_col:
-            writer = writer.partitionBy(BUCKET_COL)
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
         writer.parquet(staging)
         entries: list[dict] = []
         nv = self.manifest.version + 1
+
+        def _emit(src_dir: str, bucket: int, is_delete: bool) -> None:
+            for i, fn in enumerate(sorted(os.listdir(src_dir))):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = f"data/v{nv}-{kind[0]}{bucket}-{i}-{uuid.uuid4().hex[:8]}.parquet"
+                dst = os.path.join(self.path, rel)
+                shutil.move(os.path.join(src_dir, fn), dst)
+                rows = self._footer_rows(dst)
+                entries.append(
+                    {
+                        "path": rel,
+                        "bucket": bucket,
+                        "schema_version": self.manifest.current_schema,
+                        "rows": rows,
+                        "deletes": rows if is_delete else 0,
+                        "kind": kind,
+                        "bytes": os.path.getsize(dst),
+                    }
+                )
+
         try:
             if with_bucket_col:
                 for d in sorted(os.listdir(staging)):
                     if not d.startswith(f"{BUCKET_COL}="):
                         continue
                     bucket = int(d.split("=", 1)[1])
-                    for i, fn in enumerate(sorted(os.listdir(os.path.join(staging, d)))):
-                        if not fn.endswith(".parquet"):
-                            continue
-                        rel = f"data/v{nv}-{kind[0]}{bucket}-{i}-{uuid.uuid4().hex[:8]}.parquet"
-                        dst = os.path.join(self.path, rel)
-                        shutil.move(os.path.join(staging, d, fn), dst)
-                        entries.append(
-                            {
-                                "path": rel,
-                                "bucket": bucket,
-                                "schema_version": self.manifest.current_schema,
-                                "rows": None,
-                                "kind": kind,
-                                "bytes": os.path.getsize(dst),
-                            }
-                        )
+                    bdir = os.path.join(staging, d)
+                    if split_deletes:
+                        for dd in sorted(os.listdir(bdir)):
+                            if dd.startswith("_dl="):
+                                _emit(os.path.join(bdir, dd), bucket, dd == "_dl=1")
+                    else:
+                        _emit(bdir, bucket, False)
             else:
-                for i, fn in enumerate(sorted(os.listdir(staging))):
-                    if not fn.endswith(".parquet"):
-                        continue
-                    rel = f"data/v{nv}-{kind[0]}0-{i}-{uuid.uuid4().hex[:8]}.parquet"
-                    dst = os.path.join(self.path, rel)
-                    shutil.move(os.path.join(staging, fn), dst)
-                    entries.append(
-                        {
-                            "path": rel,
-                            "bucket": 0,
-                            "schema_version": self.manifest.current_schema,
-                            "rows": None,
-                            "kind": kind,
-                            "bytes": os.path.getsize(dst),
-                        }
-                    )
+                _emit(staging, 0, False)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return entries
@@ -589,14 +612,16 @@ class LakeTable:
         df: DataFrame,
         properties: dict[str, str] | None = None,
         pre_clustered: bool = False,
-    ) -> tuple[int, list[int]]:
+    ) -> tuple[int, list[int], dict[int, dict[str, int]]]:
         """Merge-on-read fast path: append bucket-partitioned delta files
         carrying upsert/delete markers (`_op`), touching NO existing files.
 
         O(batch) IO regardless of table size — the scale path for CDC apply;
         readers resolve last-write-wins per key (see read()), and compact()
-        folds deltas into base files.  Returns (version, affected buckets —
-        derived from the written files, no extra Spark job)."""
+        folds deltas into base files.  Returns (version, affected buckets,
+        per-bucket {"rows", "deletes"} counts) — all derived from the written
+        files' footers, no extra Spark job (the reference's per-lane sinked
+        counters, counter_type.rs:4-49)."""
         cur = self.schema
         cols = [F.col(f["name"]).cast(spark_type(f["type"])).alias(f["name"]) for f in cur.fields]
         extra = [F.col(OP_MARKER_COL)] + ([F.col(BUCKET_COL)] if BUCKET_COL in df.columns else [])
@@ -604,13 +629,19 @@ class LakeTable:
         if BUCKET_COL not in df.columns:
             out = out.withColumn(BUCKET_COL, self.bucket_expr())
         entries = self._stage_write(
-            out, with_bucket_col=True, kind="delta", pre_clustered=pre_clustered
+            out, with_bucket_col=True, kind="delta", pre_clustered=pre_clustered,
+            split_deletes=True,
         )
         props = dict(self.manifest.properties)
         props.update(properties or {})
         m = self._next_manifest(files=self.manifest.files + entries, properties=props)
         self._publish(m)
-        return m.version, sorted({e["bucket"] for e in entries})
+        per_bucket: dict[int, dict[str, int]] = {}
+        for e in entries:
+            d = per_bucket.setdefault(e["bucket"], {"rows": 0, "deletes": 0})
+            d["rows"] += e["rows"]
+            d["deletes"] += e.get("deletes", 0)
+        return m.version, sorted(per_bucket), per_bucket
 
     def delta_stats(self) -> dict:
         """Per-kind byte totals + per-bucket delta fraction (compaction input).

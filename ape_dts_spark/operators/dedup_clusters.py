@@ -41,55 +41,63 @@ def connected_components(
     Only nodes that appear in at least one pair are returned (singletons
     are their own cluster trivially and would bloat the output).
     Deterministic: pure min-fixpoint, no randomness.
+
+    Cost per round = exactly ONE Spark job with two shuffles (labels into
+    the edge join, then the groupBy) — self-loop edges make
+    min(own, neighbors) a single aggregation with no separate left-join,
+    and the convergence probe rides the same job as an Observation on the
+    label sum, which is strictly decreasing until the fixpoint (labels only
+    ever shrink), so an unchanged sum == converged.  Edges are persisted
+    pre-partitioned on the join key so each round reshuffles only the
+    (small) label frame, not the edge list.
     """
-    # pairs are distinct with a<b, so the forward and swapped halves cannot
-    # collide — no distinct() needed on the union (saves an edge shuffle)
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .persist()
-    )
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    changed = 1
+    from pyspark.sql import Observation
+
+    spark = pairs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # the edge union reads `pairs` several times (forward, reversed, and the
+    # node set for self-loops) — pin the pair list first so an expensive
+    # upstream (the LSH candidate pipeline) runs ONCE, not per-branch
+    pairs = pairs.persist()
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    nodes = fwd.select("src").union(rev.select("src")).distinct()
+    self_loops = nodes.select("src", F.col("src").alias("dst"))
+    # pairs are distinct with a<b, so the three parts cannot collide — no
+    # distinct() needed on the union (saves an edge shuffle)
+    edges = fwd.union(rev).union(self_loops).repartition(n_part, "src").persist()
+    labels = nodes.select(F.col("src").alias("node"), F.col("src").alias("label"))
+
+    prev_sum = None
+    converged = False
     for _ in range(max_iters):
-        nbr_min = (
+        obs = Observation()
+        new_labels = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
+            .agg(F.min("label").alias("label"))
+            # decimal(38,0): the sum of ~10^9 64-bit ids overflows a long
+            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
+            .localCheckpoint()  # eager: runs the round's one job + truncates lineage
         )
         labels = new_labels
-        if changed == 0:
+        cur_sum = obs.get["s"]
+        if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
             break
+        prev_sum = cur_sum
     edges.unpersist()
-    if changed != 0:
-        # the fixpoint was NOT reached: a graph with diameter > max_iters
+    pairs.unpersist()
+    if not converged:
+        # the fixpoint may NOT be reached: a graph with diameter > max_iters
         # (long chains, not the near-clique LSH shape) would silently return
         # split clusters — surface it instead of diverging from the oracle
         import warnings
 
         warnings.warn(
-            f"connected_components: label propagation still changing after "
-            f"max_iters={max_iters} rounds — clusters may be split; raise "
-            f"max_iters for long-chain graphs",
+            f"connected_components: label propagation not provably converged "
+            f"after max_iters={max_iters} rounds — clusters may be split; "
+            f"raise max_iters for long-chain graphs",
             stacklevel=2,
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -53,6 +53,10 @@ class MergeStats:
     wall_ms: int
     mode: str = "mor"
     skipped: bool = False
+    # MOR only: per-bucket {"rows", "deletes"} from the written delta files'
+    # footers — the reference's per-lane counters (counter_type.rs:4-49);
+    # summing rows over buckets gives the batch's sinked total exactly once
+    per_bucket: dict | None = None
 
 
 def _source_payload(table: LakeTable, src: DataFrame, include_last_lsn: bool) -> list:
@@ -104,34 +108,23 @@ def merge_into(
             .alias(OP_MARKER_COL),
             *carry,
         )
-        obs = Observation()
-        delta = delta.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(F.when(F.col(OP_MARKER_COL) == "delete", 1).otherwise(0)).alias("deletes"),
-        )
-        new_version, affected = table.append_delta(
+        # counts come from the written delta files' parquet footers (exact,
+        # driver-side, zero extra Spark work) — unlike an Observation they
+        # exist on every plan shape, streaming foreachBatch included
+        new_version, affected, per_bucket = table.append_delta(
             delta, properties=properties, pre_clustered=pre_clustered
         )
-        try:
-            got = obs.get
-            n_rows, n_del = int(got["rows"] or 0), int(got["deletes"] or 0)
-            out_rows = n_rows - n_del
-        except Exception:
-            # Observation is unsupported on some plan shapes (e.g. the batch
-            # DataFrames foreachBatch hands out in streaming mode) — counts
-            # are informational, never correctness-bearing.  All three stay
-            # the explicit -1 "unknown" sentinel; no arithmetic on sentinels
-            # (consumers like driver lineage/metrics skip negative values).
-            n_rows, n_del, out_rows = -1, -1, -1
+        n_rows = sum(c["rows"] for c in per_bucket.values())
+        n_del = sum(c["deletes"] for c in per_bucket.values())
         return MergeStats(
             affected_buckets=affected,
             source_rows=n_rows,
-            output_rows=out_rows,
+            output_rows=n_rows - n_del,
             deleted_rows=n_del,
             new_version=new_version,
             wall_ms=int((time.monotonic() - t0) * 1000),
             mode="mor",
+            per_bucket=per_bucket,
         )
 
     # ---------------- copy-on-write path ----------------

@@ -602,38 +602,52 @@ class CdcEngine:
             )
 
     def _write_lineage(self, batch_id, lo, hi, stats, input_records, t0) -> None:
-        per_bucket = [
-            (
-                self.cfg.job_id,
-                batch_id,
-                int(b),
-                lo + 1,
-                hi,
-                input_records,
-                stats.output_rows,
-                stats.deleted_rows,
-                stats.new_version,
-                int((time.monotonic() - t0) * 1000),
-            )
-            for b in stats.affected_buckets
-        ] or [
-            (
-                self.cfg.job_id,
-                batch_id,
-                -1,
-                lo + 1,
-                hi,
-                0,
-                0,
-                0,
-                self.pages.version,
-                int((time.monotonic() - t0) * 1000),
-            )
-        ]
+        """Per-lane lineage (reference per-lane counters, counter_type.rs:
+        4-49): one row per affected bucket with that bucket's OWN counts —
+        input_rows = LWW-deduped change rows routed to the bucket (rows
+        written to its delta files), merged_rows = its upserts, deleted_rows
+        = its deletes.  Summing any column over a batch's rows gives the
+        batch total exactly once (no duplicated batch-level counts).  The
+        raw pre-dedup slice count stays in metrics['record_count'].  A merge
+        without per-bucket counts (COW mode) emits a single batch-summary
+        row with partition_id = -1."""
+        wall = int((time.monotonic() - t0) * 1000)
+        pb = getattr(stats, "per_bucket", None)
+        if pb:
+            rows = [
+                (
+                    self.cfg.job_id,
+                    batch_id,
+                    int(b),
+                    lo + 1,
+                    hi,
+                    c["rows"],
+                    c["rows"] - c["deletes"],
+                    c["deletes"],
+                    stats.new_version,
+                    wall,
+                )
+                for b, c in sorted(pb.items())
+            ]
+        else:
+            rows = [
+                (
+                    self.cfg.job_id,
+                    batch_id,
+                    -1,
+                    lo + 1,
+                    hi,
+                    input_records,
+                    max(stats.output_rows, 0) if stats else 0,
+                    max(stats.deleted_rows, 0) if stats else 0,
+                    stats.new_version if stats else self.pages.version,
+                    wall,
+                )
+            ]
         # driver-side pyarrow append: bookkeeping must not cost a Spark job
         # per micro-batch (at 10^10 events the fixed per-batch overhead is
         # what caps events/sec, not the merge itself)
-        self.lineage.append_rows([tuple(r) for r in per_bucket])
+        self.lineage.append_rows([tuple(r) for r in rows])
 
     def _write_checkpoint(self, batch_id: int, hwm: int) -> None:
         self.checkpoints.append_rows(

@@ -103,6 +103,19 @@ def test_final_state_matches_sequential_oracle(spark, fixture_dir, tmp_path):
     ln = eng.lineage.read(spark)
     assert ln.count() > 0
     assert ln.filter(F.col("input_rows") < 0).count() == 0
+    # per-bucket rows carry per-bucket counts: summing over the whole run
+    # reproduces the engine's sinked totals exactly once (no per-bucket
+    # duplication of batch totals)
+    sums = ln.agg(
+        F.sum("merged_rows").alias("m"), F.sum("deleted_rows").alias("d")
+    ).collect()[0]
+    assert sums["m"] == eng.metrics["sinked_records"]
+    # several batches touch >1 bucket; with duplicated totals the sum would
+    # overshoot by the affected-bucket multiplicity
+    multi = (
+        ln.groupBy("batch_id").agg(F.count(F.lit(1)).alias("nb")).filter(F.col("nb") > 1)
+    )
+    assert multi.count() > 0
 
 
 def test_rerun_after_completion_is_noop(spark, fixture_dir, tmp_path):

@@ -64,6 +64,34 @@ def test_lww_within_batch(spark, tmp_path):
     assert stats.deleted_rows == 1  # b
 
 
+def test_per_bucket_merge_counts_are_exact(spark, tmp_path):
+    """MOR MergeStats.per_bucket must carry each bucket's OWN (rows, deletes)
+    — the per-lane counters lineage consumes — and sum to the batch totals
+    exactly once (round-2 verdict: duplicated batch totals per bucket)."""
+    t = _table(spark, tmp_path, [])
+    rows = [(f"u{i}", i, "insert", i + 1) for i in range(40)] + [
+        (f"u{i}", None, "delete", 100 + i) for i in range(6)
+    ]
+    stats = merge_into(spark, t, _changes(spark, rows))
+    assert stats.per_bucket is not None and len(stats.per_bucket) > 1
+    # independent per-bucket expectation via the table's own bucket transform
+    src = _changes(spark, rows)
+    deduped = lww_dedup(src, ["url"], "lsn")
+    want = {
+        r["b"]: (r["n"], r["d"])
+        for r in deduped.groupBy(t.bucket_expr().alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("d"),
+        )
+        .collect()
+    }
+    got = {b: (c["rows"], c["deletes"]) for b, c in stats.per_bucket.items()}
+    assert got == want
+    assert sum(c["rows"] for c in stats.per_bucket.values()) == stats.source_rows == 40
+    assert sum(c["deletes"] for c in stats.per_bucket.values()) == stats.deleted_rows == 6
+
+
 def test_idempotent_replay_is_noop(spark, tmp_path):
     t = _table(spark, tmp_path, [("a", 1, 0)])
     ch = _changes(spark, [("a", 10, "update", 5), ("b", 2, "insert", 6), ("a", None, "delete", 7)])
