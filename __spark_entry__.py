@@ -529,6 +529,23 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-k (the scale-path recall lever): probe the query's
+    own bucket plus its 3 nearest 1-bit-flip buckets (smallest |dot| margin
+    first, margin ties on plane index).  Dots left-fold in double, so the
+    DuckDB oracle reproduces buckets, margins, and probe order bit-for-bit."""
+    from ape_dts_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=6, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF coarse-quantizer ANN (FAISS IVF layout): md5-picked deterministic
     centroids, argmax-cosine cell assignment, n_probe-cell probing — every
@@ -737,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_metadata": q_media_metadata,
@@ -853,12 +871,14 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
 
 
 def _plane_sql(seed_expr: str) -> str:
-    """One hyperplane row as a DOUBLE[] — the exact formula of
+    """One hyperplane row as a DOUBLE[] — the exact md5-derived formula of
     similarity.random_hyperplanes, evaluated in double in both engines."""
     return (
-        f"list_transform(range(0, 64), d -> "
-        f"(((({seed_expr} * 1000003 + p * 10007 + d * 101) % 2000003) % 1999)::DOUBLE"
-        f" / (999.5)::DOUBLE) - (1.0)::DOUBLE)"
+        "list_transform(range(0, 64), d -> "
+        "((('0x' || substr(md5("
+        f"CAST({seed_expr} AS VARCHAR) || '#' || CAST(p AS VARCHAR) || '#' || "
+        "CAST(d AS VARCHAR)), 1, 12))::BIGINT % 1999)::DOUBLE"
+        " / (999.5)::DOUBLE) - (1.0)::DOUBLE)"
     )
 
 
@@ -892,6 +912,53 @@ def _ann_lsh_oracle_sql(n_planes: int = 6, k: int = 5, seed: int = 42) -> str:
                      list_cosine_similarity(q.v, c.v) AS cos_sim
               FROM bb q JOIN bb c
                 ON q.bucket = c.bucket AND q.vec_id < 8 AND q.vec_id <> c.vec_id
+            )
+            SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= {k}
+        """
+
+
+def _ann_lsh_multiprobe_oracle_sql(
+    n_planes: int = 6, n_probe: int = 4, k: int = 5, seed: int = 42
+) -> str:
+    """DuckDB mirror of similarity.lsh_topk(n_probe>1): the probe set is the
+    query's own bucket plus (n_probe-1) single-bit flips ordered by |dot|
+    margin (ties on plane index) — identical fold order, identical sort."""
+    return f"""
+            WITH pl AS (
+              SELECT p, {_plane_sql(str(seed))} AS pv
+              FROM (SELECT unnest(range(0, {n_planes})) AS p)
+            ), base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), dots AS (
+              SELECT vec_id, p, {_FOLD_DOT} AS d
+              FROM base CROSS JOIN pl
+            ), sig AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)
+                          AS BIGINT) AS bucket
+              FROM dots GROUP BY vec_id
+            ), flips AS (
+              SELECT vec_id, p,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY abs(d) ASC, p ASC) AS rn
+              FROM dots WHERE vec_id < 8
+            ), qb AS (
+              SELECT vec_id, bucket AS pb FROM sig WHERE vec_id < 8
+              UNION ALL
+              SELECT f.vec_id, xor(s.bucket, (1::BIGINT << f.p)) AS pb
+              FROM flips f JOIN sig s USING (vec_id)
+              WHERE f.rn <= {n_probe - 1}
+            ), bb AS (
+              SELECT s.vec_id, s.bucket, b.v FROM sig s JOIN base b USING (vec_id)
+            ), scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(qq.v, c.v) AS cos_sim
+              FROM qb q
+              JOIN bb c ON q.pb = c.bucket AND q.vec_id <> c.vec_id
+              JOIN base qq ON qq.vec_id = q.vec_id
             )
             SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rank FROM (
               SELECT *, CAST(row_number() OVER (PARTITION BY query_id
@@ -1465,6 +1532,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "ann_lsh_topk": _ann_lsh_oracle_sql(n_planes=6, k=5, seed=42),
+        "ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle_sql(n_planes=6, n_probe=4, k=5, seed=42),
         "ann_ivf_topk": _ivf_oracle_sql(n_cells=8, n_probe=2, k=5, seed=42),
         "dedup_embedding_cosine": _embedding_near_dup_oracle_sql(
             threshold=0.95, n_tables=3, planes_per_table=4, seed=42

@@ -153,16 +153,31 @@ def embedding_near_dup_pairs(
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random unit-free hyperplanes (hash-derived, no RNG
-    state): plane[p][d] in {-1..1} from a integer mix of (seed, p, d)."""
+    """Deterministic pseudo-random unit-free hyperplanes: plane[p][d] in
+    {-1..1} from md5(seed#p#d) (first 12 hex chars mod 1999).
+
+    md5-derived (not an affine integer mix): the round-2 affine formula made
+    CONSECUTIVE planes nearly-identical phase shifts of one cyclic sequence
+    (measured: every true-neighbor bucket sat at an EVEN hamming distance —
+    sign bits flipped in pairs), which capped single- and multi-probe recall
+    alike.  A cryptographic mix decorrelates planes, and any SQL engine with
+    md5 reproduces every coefficient bit-for-bit (oracle `_plane_sql`)."""
+    import hashlib
+
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            x = (seed * 1_000_003 + p * 10_007 + d * 101) % 2_000_003
-            row.append(((x % 1999) / 999.5) - 1.0)
+            h = int(hashlib.md5(f"{seed}#{p}#{d}".encode()).hexdigest()[:12], 16)
+            row.append(((h % 1999) / 999.5) - 1.0)
         planes.append(row)
     return planes
+
+
+def lsh_dots(vec_col, planes: list[list[float]]):
+    """Per-plane dot products as an array<double> (left-fold order, so SQL
+    oracles reproduce each value bit-for-bit)."""
+    return F.array(*[_dot(vec_col, F.array(*[F.lit(x) for x in p])) for p in planes])
 
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
@@ -172,6 +187,34 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
         d = _dot(vec_col, F.array(*[F.lit(x) for x in plane]))
         sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return sig
+
+
+def _probe_buckets(dots_col, n_planes: int, n_probe: int):
+    """The query's own bucket plus its (n_probe-1) nearest 1-bit-flip
+    neighbors — "nearest" = flipping the planes with the smallest |dot|
+    margin first (the multi-probe LSH heuristic: a vector near a hyperplane
+    is the one whose true neighbors straddle it).  Deterministic: margin
+    ties break on plane index.  All probe buckets are distinct (distinct
+    single-bit flips), so no downstream pair dedup is needed."""
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        bucket = bucket + F.when(
+            F.element_at(dots_col, i + 1) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    margins = F.array(
+        *[
+            F.struct(
+                F.abs(F.element_at(dots_col, i + 1)).alias("m"),
+                F.lit(i).cast("int").alias("i"),
+            )
+            for i in range(n_planes)
+        ]
+    )
+    ordered = F.array_sort(margins)  # struct sort: by margin, then plane idx
+    flips = F.slice(F.transform(ordered, lambda s: s["i"]), 1, n_probe - 1)
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(n_planes)])
+    flipped = F.transform(flips, lambda j: bucket.bitwiseXOR(F.element_at(pow2, j + 1)))
+    return F.concat(F.array(bucket), flipped)
 
 
 def lsh_topk(
@@ -184,11 +227,18 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 42,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's LSH bucket.
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket(s).
 
-    Recall/cost tradeoff via n_planes (fewer planes = bigger buckets).  The
-    join is an equi-join on bucket -> shuffle bounded by bucket sizes, the
+    Recall/cost tradeoff via n_planes (fewer planes = bigger buckets) and
+    n_probe (probe the n_probe nearest buckets — own bucket + smallest-
+    margin 1-bit flips).  Single-probe LSH has a known recall cliff at
+    scale: a query near a hyperplane loses every neighbor across it;
+    multi-probe recovers those at n_probe x join cost, the standard
+    recall lever when shrinking buckets (more planes) for speed.  The join
+    stays an equi-join on bucket -> shuffle bounded by bucket sizes, the
     scale path when the query set is too large to broadcast."""
     planes = random_hyperplanes(dim, n_planes, seed)
     c = corpus.select(
@@ -196,11 +246,20 @@ def lsh_topk(
         F.col(vec_col).alias("_cv"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qv"),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
-    )
+    if n_probe <= 1:
+        q = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qv"),
+            lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        )
+    else:
+        q = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qv"),
+            F.explode(
+                _probe_buckets(lsh_dots(F.col(vec_col), planes), n_planes, n_probe)
+            ).alias("_bucket"),
+        )
     scored = (
         q.join(c, "_bucket")
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
