@@ -158,30 +158,73 @@ def split_key_change_updates(
 def reverse_ops(df: DataFrame, op_col: str = "op") -> DataFrame:
     """Insert<->Delete swap for reverse/undo streams (reference row_data.rs:54-69).
 
-    The reference's reverse also swaps before/after images for updates; this
-    stream carries after-images plus `before_*` key columns only, so the
-    update reversal here swaps each `before_X` column with `X` (a reversed
-    key-changing update points back at the old key).  Full-payload
-    before-images are not modeled (see generator.py docstring) — a reversed
-    update keeps its after-image payload, documented limitation."""
-    out = df.withColumn(
-        op_col,
-        F.when(F.col(op_col) == "insert", F.lit("delete"))
-        .when(F.col(op_col) == "delete", F.lit("insert"))
-        .otherwise(F.col(op_col)),
-    )
-    is_upd = F.col(op_col) == "update"
-    for bc in [c for c in df.columns if c.startswith("before_")]:
-        cur = bc[len("before_") :]
-        if cur in df.columns:
-            swap_when = is_upd & F.col(bc).isNotNull()
-            out = out.withColumns(
-                {
-                    cur: F.when(swap_when, F.col(bc)).otherwise(F.col(cur)),
-                    bc: F.when(swap_when, F.col(cur)).otherwise(F.col(bc)),
-                }
-            )
-    return out
+    Two fidelity levels, keyed on whether the stream carries full before
+    images (`before_exists` + `before_X` payload columns, the reference
+    RowData shape, generator full_before_images mode):
+
+    * **full**: exact undo.  Reversed updates restore the ENTIRE prior
+      payload (before values, nulls included) and swap images; an update
+      whose row did not exist before (`before_exists` false — the REPLACE
+      upsert-on-missing) reverses to a DELETE; reversed deletes become
+      inserts carrying the deleted row's payload.  Replaying the reversed
+      stream restores the pre-change table state exactly (tested e2e).
+    * **key-only** (no `before_exists`): the round-2 behavior — op swap plus
+      swapping each non-null `before_X` with `X` (a reversed key-changing
+      update points back at the old key); payload values can't be restored.
+
+    All swaps evaluate against the ORIGINAL row (one simultaneous
+    withColumns), never against already-swapped columns."""
+    orig = F.col(op_col)
+    pairs = [
+        (c[len("before_") :], c)
+        for c in df.columns
+        if c.startswith("before_") and c[len("before_") :] in df.columns
+    ]
+    if "before_exists" not in df.columns:
+        cols = {
+            op_col: F.when(orig == "insert", F.lit("delete"))
+            .when(orig == "delete", F.lit("insert"))
+            .otherwise(orig)
+        }
+        for cur, bc in pairs:
+            swap_when = (orig == "update") & F.col(bc).isNotNull()
+            cols[cur] = F.when(swap_when, F.col(bc)).otherwise(F.col(cur))
+            cols[bc] = F.when(swap_when, F.col(cur)).otherwise(F.col(bc))
+        return df.withColumns(cols)
+
+    existed = F.col("before_exists")
+    # REPLACE semantics make op and prior existence orthogonal, and the undo
+    # depends on BOTH (row_data.rs:54-69 generalized to upsert sinks):
+    #   insert & !existed -> delete        (undo a creation)
+    #   insert &  existed -> update        (undo a REPLACE overwrite)
+    #   delete &  existed -> insert        (restore the deleted row)
+    #   delete & !existed -> delete        (no-op undo of a no-op delete —
+    #                                       an insert here would mint phantoms)
+    #   update &  existed -> update        (restore prior payload; key swap
+    #                                       for key-changing updates)
+    #   update & !existed -> delete        (undo a REPLACE creation; keeps
+    #                                       the NEW key — there is no old row
+    #                                       to point back at, so no key swap)
+    cols = {
+        op_col: F.when((orig == "insert") & ~existed, F.lit("delete"))
+        .when((orig == "insert") & existed, F.lit("update"))
+        .when((orig == "delete") & existed, F.lit("insert"))
+        .when((orig == "delete") & ~existed, F.lit("delete"))
+        .when((orig == "update") & ~existed, F.lit("delete"))
+        .otherwise(orig)
+    }
+    for cur, bc in pairs:
+        if cur == "url":
+            swap_when = (orig == "update") & F.col(bc).isNotNull() & existed
+            cols[cur] = F.when(swap_when, F.col(bc)).otherwise(F.col(cur))
+            cols[bc] = F.when(swap_when, F.col(cur)).otherwise(F.col(bc))
+            continue
+        # every undo of an event whose row existed restores the full prior
+        # payload (nulls included); rows that become (no-op) deletes don't
+        # care what the payload says
+        cols[cur] = F.when(existed, F.col(bc)).otherwise(F.col(cur))
+        cols[bc] = F.when(existed, F.col(cur)).otherwise(F.col(bc))
+    return df.withColumns(cols)
 
 
 def quarantine_null_keys(df: DataFrame, key_cols: list[str]) -> tuple[DataFrame, DataFrame]:

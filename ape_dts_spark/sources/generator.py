@@ -150,6 +150,7 @@ def gen_changes(
     seed: int = 42,
     start_lsn: int = 1,
     tx_size: int = 50,
+    full_before_images: bool = False,
 ) -> DataFrame:
     """LSN-ordered change stream over the url keyspace.
 
@@ -157,6 +158,14 @@ def gen_changes(
     fresh url_ids above the seed range; update/delete target the existing
     range (an update of a never-inserted url upserts, matching the
     reference's REPLACE semantics).
+
+    full_before_images=True additionally carries the reference RowData's
+    full before image per event (row_data.rs:19-26: the binlog hands the
+    extractor the prior row values): `before_exists` (the row was present
+    before this event) plus `before_warc_ts/html/lang/fetch_status` — the
+    EXACT prior payload, from the seed row or the latest earlier event on
+    the same key (the key-change read chain included).  Computed with one
+    window over the key effect chain — generator-side cost only.
     """
     df = spark.range(n_events).select((F.col("id") + F.lit(start_lsn)).alias("lsn"))
     h = _h(F.col("lsn"), seed, 11)
@@ -174,12 +183,19 @@ def gen_changes(
         .when(op == F.lit("insert"), minted_id)
         .otherwise(existing_id)
     ).cast("long")
-    # key-changing update (reference uk_changed_test): before.url != after.url
+    # key-changing update (reference uk_changed_test): before.url != after.url.
+    # The moved-to key is freshly minted (disjoint from insert mints and the
+    # live range) — a real unique-key change cannot land ON an existing row
+    # (the DB would reject it), and an artificial collision is unrecoverable
+    # by ANY reverse stream (the event carries the read row's before image,
+    # not the clobbered target's).  before_url = the existing row being moved.
     key_change = (op == F.lit("update")) & (F.pmod(_h(F.col("lsn"), seed, 23), F.lit(211)) == 0)
-    before_url = F.when(key_change, _url(url_id + 1, seed)).otherwise(F.lit(None).cast("string"))
+    kc_target_id = (F.lit(n_seed_urls + n_events) + F.col("lsn")).cast("long")
+    before_url = F.when(key_change, _url(url_id, seed)).otherwise(F.lit(None).cast("string"))
+    url_id = F.when(key_change, kc_target_id).otherwise(url_id)
 
     hp = _h(F.col("lsn"), seed, 29)
-    return df.select(
+    out = df.select(
         F.col("lsn"),
         op.alias("op"),
         _url(url_id, seed).alias("url"),
@@ -194,6 +210,64 @@ def gen_changes(
         .alias("fetch_status"),
         F.floor(F.col("lsn") / F.lit(tx_size)).alias("tx_id"),
         F.lit("node1").alias("origin"),
+    )
+    if not full_before_images:
+        return out
+    return _attach_full_before_images(spark, out, n_seed_urls, seed)
+
+
+_BEFORE_PAYLOAD = ["warc_ts", "html", "lang", "fetch_status"]
+_BEFORE_STRUCT = "struct<warc_ts:timestamp,html:binary,lang:string,fetch_status:int>"
+
+
+def _attach_full_before_images(
+    spark: SparkSession, changes: DataFrame, n_seed_urls: int, seed: int
+) -> DataFrame:
+    """Exact before images by replaying the key effect chain with a window.
+
+    Every event produces effects on keys: its url is SET to the after image
+    (NULL for deletes), and — for key-changing updates — its before_url is
+    CLEARED.  Union the seed rows (lsn 0) with those effects, lag() the
+    state per key in lsn order, and join each event back to the effect row
+    of its READ key (before_url if set, else url): the lagged state IS the
+    event's before image; a NULL struct means the row did not exist
+    (before_exists = false — the REPLACE-upsert-on-missing case)."""
+    from pyspark.sql import Window
+
+    st = F.when(F.col("op") == "delete", F.lit(None).cast(_BEFORE_STRUCT)).otherwise(
+        F.struct(*[F.col(c) for c in _BEFORE_PAYLOAD])
+    )
+    set_eff = changes.select(F.col("url").alias("_k"), F.col("lsn"), st.alias("_st"))
+    clear_eff = changes.filter(F.col("before_url").isNotNull()).select(
+        F.col("before_url").alias("_k"),
+        F.col("lsn"),
+        F.lit(None).cast(_BEFORE_STRUCT).alias("_st"),
+    )
+    seed_eff = gen_pages_seed(spark, n_seed_urls, seed=seed).select(
+        F.col("url").alias("_k"),
+        F.lit(0).cast("long").alias("lsn"),
+        F.struct(
+            F.col("warc_ts"),
+            F.col("html"),
+            F.col("lang"),
+            F.lit(None).cast("int").alias("fetch_status"),
+        ).alias("_st"),
+    )
+    w = Window.partitionBy("_k").orderBy("lsn")
+    eff = (
+        set_eff.unionByName(clear_eff)
+        .unionByName(seed_eff)
+        .withColumn("_prev", F.lag("_st").over(w))
+        .select(F.col("_k"), F.col("lsn").alias("_elsn"), F.col("_prev"))
+    )
+    read_key = F.coalesce(F.col("before_url"), F.col("url"))
+    joined = changes.join(
+        eff, (read_key == eff["_k"]) & (changes["lsn"] == eff["_elsn"]), "left"
+    )
+    return joined.select(
+        *[F.col(c) for c in changes.columns],
+        F.col("_prev").isNotNull().alias("before_exists"),
+        *[F.col("_prev")[c].alias(f"before_{c}") for c in _BEFORE_PAYLOAD],
     )
 
 
