@@ -422,6 +422,8 @@ class LakeTable:
         data column (the MOR read path needs it); only the derived flag is
         consumed by the directory layout."""
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        if split_deletes and not with_bucket_col:
+            raise ValueError("split_deletes requires a bucketed write")
         part_cols = [BUCKET_COL] if with_bucket_col else []
         if split_deletes:
             df = df.withColumn(

@@ -242,6 +242,14 @@ def main():
             nx_runs.append(
                 run_cdc(spark, workdir, paths, n_seed, tag=f"nx{cpus}r{r}", extract=False)
             )
+        # each rep rebuilds its tables from scratch; drop the previous rep's
+        # dirs so N reps don't hold N table copies on the bench volume
+        if r > 0:
+            for tag in (f"c{cpus}r{r - 1}", f"nx{cpus}r{r - 1}"):
+                for sfx in ("", "_checkpoints", "_lineage"):
+                    shutil.rmtree(
+                        os.path.join(workdir, f"pages_{tag}{sfx}"), ignore_errors=True
+                    )
     cdc = max(cdc_runs, key=lambda c: c["events_per_sec"])
     cdc_noex = max(nx_runs, key=lambda c: c["events_per_sec"])
     queries = run_queries(spark, sf_dir)

@@ -232,3 +232,27 @@ def test_catalog_database_lifecycle(tmp_path):
     assert Catalog.drop_database(base, "analytics", if_exists=True) is False
     with pytest.raises(FileNotFoundError):
         Catalog.drop_database(base, "analytics")
+
+
+def test_catalog_rejects_empty_and_path_names(tmp_path):
+    """The empty string must be illegal everywhere a name maps to a path:
+    '' resolves to the warehouse/catalog root itself, so a cascade
+    drop_database('') would delete every database (round-3 advice fix)."""
+    import pytest
+
+    from ape_dts_spark.lake.catalog import Catalog
+
+    base = str(tmp_path / "warehouse")
+    Catalog.create_database(base, "db1")
+    for bad in ("", "a/b", ".hidden"):
+        with pytest.raises(ValueError, match="illegal"):
+            Catalog.create_database(base, bad)
+        with pytest.raises(ValueError, match="illegal"):
+            Catalog.drop_database(base, bad, cascade=True)
+    assert Catalog.list_databases(base) == ["db1"]
+    cat = Catalog(os.path.join(base, "db1"))
+    for bad in ("", "x/y", ".t"):
+        with pytest.raises(ValueError, match="illegal"):
+            cat.create_table(bad, [("id", "long")])
+        with pytest.raises(ValueError, match="illegal"):
+            cat.drop_table(bad)
