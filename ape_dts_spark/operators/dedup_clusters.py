@@ -66,6 +66,16 @@ def connected_components(
     # pairs are distinct with a<b, so the three parts cannot collide — no
     # distinct() needed on the union (saves an edge shuffle)
     edges = fwd.union(rev).union(self_loops).repartition(n_part, "src").persist()
+    if edges.isEmpty():
+        # short-circuit: with no pairs there is nothing to propagate, and an
+        # all-empty loop would never satisfy the sum-based convergence test
+        # (the Observation over zero rows yields NULL every round)
+        edges.unpersist()
+        out = pairs.select(
+            F.col(a_col).alias("doc_id"), F.col(a_col).alias("cluster_id")
+        ).limit(0)
+        pairs.unpersist()
+        return out
     labels = nodes.select(F.col("src").alias("node"), F.col("src").alias("label"))
 
     prev_sum = None

@@ -249,6 +249,18 @@ def test_multimodal_stub_plumbing(spark):
     assert plan.count() >= 1
 
 
+def test_connected_components_empty_pairs(spark):
+    """No candidate pairs -> empty result, terminating immediately (the
+    Observation-based convergence probe yields NULL sums on empty input and
+    would otherwise never satisfy the unchanged-sum test)."""
+    from ape_dts_spark.operators.dedup_clusters import connected_components
+
+    pairs = spark.createDataFrame([], "a long, b long")
+    out = connected_components(pairs)
+    assert out.columns == ["doc_id", "cluster_id"]
+    assert out.count() == 0
+
+
 def test_connected_components_chain_and_clique(spark):
     """A-B, B-C chain must collapse to one cluster even though A,C never
     paired; an isolated pair stays its own cluster."""
