@@ -700,6 +700,46 @@ def q_text_pii_scrub(spark, sf_dir):
     )
 
 
+def _messy_urls(spark, sf_dir):
+    """documents + deterministic messy URLs (mixed-case scheme/host, default
+    ports, fragments, bare '?', root slashes) — mirrored literally in the
+    oracle SQL so canonicalization is value-checked end to end."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    scheme = F.when(i % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = F.concat(
+        F.lit("WWW."), (i % 7).cast("string"),
+        F.lit(".Example"), (i % 13).cast("string"), F.lit(".COM"),
+    )
+    port = (
+        F.when(i % 4 == 0, F.lit(":80")).when(i % 4 == 1, F.lit(":443")).otherwise(F.lit(""))
+    )
+    path = F.when(i % 11 == 0, F.lit("/")).otherwise(
+        F.concat(
+            F.lit("/Art/"), (i % 97).cast("string"),
+            F.when(i % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        )
+    )
+    q = (
+        F.when(i % 6 == 0, F.lit("?"))
+        .when(i % 6 == 1, F.concat(F.lit("?k="), i.cast("string")))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(i % 5 == 0, F.lit("#Sec1")).otherwise(F.lit(""))
+    return d.select(
+        "doc_id", F.concat(scheme, F.lit("://"), host, port, path, q, frag).alias("url")
+    )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + host/registered-domain extraction (the merge-key
+    identity + hot-domain skew axis for a web-text pipeline) — RE2-safe
+    regexp chain, bit-identical on DuckDB."""
+    from ape_dts_spark.operators.url_tools import canonicalize_urls
+
+    return canonicalize_urls(_messy_urls(spark, sf_dir))
+
+
 def q_hot_keys_topk(spark, sf_dir):
     """Hot-key profiler (salting evidence for the url-salted merge shuffle)."""
     from ape_dts_spark.operators.profiling import hot_key_report
@@ -768,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norm_stats": q_emb_norm_stats,
         "text_pii_scrub": q_text_pii_scrub,
         "hot_keys_topk": q_hot_keys_topk,
+        "url_canonicalize": q_url_canonicalize,
         "hot_keys_summary": q_hot_keys_summary,
     }
 
@@ -1116,6 +1157,52 @@ _TEXT_QUALITY_SQL = r"""
                          4) AS quality_score
             FROM m
 """
+
+
+def _url_canonicalize_oracle_sql() -> str:
+    """DuckDB mirror of _messy_urls + operators.url_tools.canonicalize_urls.
+    Same regexp literals; DuckDB backreference syntax is \\1 (Java's is $1) —
+    replacement spelling differs, produced values are identical.  All
+    patterns are anchored single-match, so no 'g' flag is needed."""
+    sa = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)"
+    sa_bare = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*"
+    host_re = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?]*@)?([^/:?]+)"
+    return f"""
+        WITH m AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+            'WWW.' || CAST(doc_id % 7 AS VARCHAR) || '.Example' ||
+            CAST(doc_id % 13 AS VARCHAR) || '.COM' ||
+            (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                  WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END) ||
+            (CASE WHEN doc_id % 11 = 0 THEN '/'
+                  ELSE '/Art/' || CAST(doc_id % 97 AS VARCHAR) ||
+                       (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) END) ||
+            (CASE WHEN doc_id % 6 = 0 THEN '?'
+                  WHEN doc_id % 6 = 1 THEN '?k=' || CAST(doc_id AS VARCHAR)
+                  ELSE '' END) ||
+            (CASE WHEN doc_id % 5 = 0 THEN '#Sec1' ELSE '' END) AS url
+          FROM documents
+        ), c1 AS (
+          SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS u FROM m
+        ), c2 AS (
+          SELECT doc_id, url,
+                 regexp_replace(
+                   regexp_replace(
+                     lower(regexp_extract(u, '{sa}', 1)),
+                     '^(http://[^/:]+):80$', '\\1'),
+                   '^(https://[^/:]+):443$', '\\1')
+                 || regexp_replace(u, '{sa_bare}', '') AS u2
+          FROM c1
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(u2, '\\?$', ''),
+                              '^([a-z][a-z0-9+.-]*://[^/?]+)/$', '\\1') AS url_canonical,
+               lower(regexp_extract(trim(url), '{host_re}', 1)) AS host,
+               regexp_extract(lower(regexp_extract(trim(url), '{host_re}', 1)),
+                              '([^.]+\\.[^.]+)$', 1) AS domain
+        FROM c2
+    """
 
 
 def _pii_oracle_sql() -> str:
@@ -1647,6 +1734,7 @@ def oracle_sql() -> dict[str, str]:
             FROM n GROUP BY label
         """,
         "text_pii_scrub": _pii_oracle_sql(),
+        "url_canonicalize": _url_canonicalize_oracle_sql(),
         "hot_keys_topk": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 20

@@ -414,3 +414,26 @@ def test_near_dup_skew_caps_bound_quadratic_blowup(spark):
     assert cc.count() == n_vec  # every duplicate member reached the cluster
     pdf.unpersist()
     assert time.monotonic() - t0 < 180
+
+
+def test_url_canonicalization_rules(spark):
+    """Canonical form: fragment stripped, scheme+host lowercased (path case
+    kept), DEFAULT ports only stripped, bare '?' dropped, root slash dropped,
+    non-root trailing slash and query order KEPT."""
+    from ape_dts_spark.operators.url_tools import canonicalize_urls
+
+    cases = [
+        (1, "HTTP://Example.COM:80/Path/To#frag", "http://example.com/Path/To"),
+        (2, "https://A.B.Example.org:443/", "https://a.b.example.org"),
+        (3, "http://h.io:443/x", "http://h.io:443/x"),  # NOT http's default port
+        (4, "https://U:p@Host.NET/Deep/?", "https://u:p@host.net/Deep/"),
+        (5, "  https://W.co/a?b=1&a=2  ", "https://w.co/a?b=1&a=2"),
+        (6, "https://x.y.z.co/", "https://x.y.z.co"),
+    ]
+    docs = spark.createDataFrame([(i, u) for i, u, _ in cases], "doc_id long, url string")
+    out = {r.doc_id: r for r in canonicalize_urls(docs).collect()}
+    for i, _, want in cases:
+        assert out[i].url_canonical == want, f"case {i}: {out[i].url_canonical!r}"
+    assert out[4].host == "host.net"  # userinfo stripped from host
+    assert out[2].domain == "example.org"
+    assert out[6].domain == "z.co"
