@@ -78,10 +78,34 @@ def precheck(spark: SparkSession, cfg: EngineConfig, deep: bool = False) -> dict
             )
 
     if cfg.ddl_path:
+        import json
+
         ddl = spark.read.parquet(cfg.ddl_path)
         for c in ("lsn", "ddl_type", "payload"):
             if c not in ddl.columns:
                 raise PrecheckError(f"ddl stream lacks column {c}")
-        report["n_ddl"] = ddl.count()
+        # the DDL stream is a small control stream (the engine collects it
+        # whole at init too) — validate every payload now, not mid-run
+        rows = ddl.select("ddl_type", "payload").collect()
+        kinds = set()
+        for r in rows:
+            kinds.add(r["ddl_type"])
+            try:
+                json.loads(r["payload"])
+            except Exception as e:
+                raise PrecheckError(
+                    f"ddl payload for {r['ddl_type']!r} is not valid JSON: {e}"
+                ) from e
+        from ape_dts_spark.streaming.driver import CdcEngine
+
+        lifecycle = kinds & CdcEngine.LIFECYCLE_DDL
+        if lifecycle and not cfg.catalog_root:
+            raise PrecheckError(
+                f"ddl stream carries table-lifecycle events {sorted(lifecycle)} "
+                "but EngineConfig.catalog_root is not set — the run would fail "
+                "at the first lifecycle barrier"
+            )
+        report["n_ddl"] = len(rows)
+        report["ddl_kinds"] = sorted(kinds)
 
     return report

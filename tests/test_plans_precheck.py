@@ -92,6 +92,28 @@ def test_precheck_ok_and_failures(spark, tmp_path):
     with pytest.raises(PrecheckError, match="duplicate LSNs"):
         precheck(spark, cfg3)
 
+    # lifecycle DDL without a catalog_root fails at precheck, not mid-run
+    from ape_dts_spark.sources.generator import gen_ddl_events
+
+    cfg4 = _mk_cfg(tmp_path / "z", spark)
+    lc_ddl = str(tmp_path / "lc_ddl")
+    gen_ddl_events(spark, 500, kinds="lifecycle").write.parquet(lc_ddl)
+    cfg4.ddl_path = lc_ddl
+    with pytest.raises(PrecheckError, match="catalog_root"):
+        precheck(spark, cfg4)
+    cfg4.catalog_root = str(tmp_path / "db")
+    rep4 = precheck(spark, cfg4)
+    assert rep4["n_ddl"] == 3 and "rename_table" in rep4["ddl_kinds"]
+
+    # malformed DDL payload JSON is fatal
+    bad_ddl = str(tmp_path / "bad_ddl")
+    spark.createDataFrame(
+        [(10, "add_column", "{not json")], "lsn long, ddl_type string, payload string"
+    ).write.parquet(bad_ddl)
+    cfg4.ddl_path = bad_ddl
+    with pytest.raises(PrecheckError, match="not valid JSON"):
+        precheck(spark, cfg4)
+
 
 def test_resolved_read_is_bucket_aligned_single_shuffle(spark, tmp_path):
     """MOR resolved reads must shuffle exactly ONCE, on the table's bucket
