@@ -94,6 +94,7 @@ def load_task_config(path_or_text: str, is_text: bool = False) -> EngineConfig:
         checkpoints_path=ppl.get("checkpoints_path") or None,
         lineage_path=ppl.get("lineage_path") or None,
         batch_lsn_width=int(ext.get("batch_lsn_width", "100000")),
+        start_lsn=int(ext.get("start_lsn", "0")),
         filter=change_filter,
         router=Router(col_map=col_map),
         salt=int(par.get("salt", "16")),

@@ -79,6 +79,12 @@ class EngineConfig:
     checkpoints_path: str | None = None  # default: <pages>/../checkpoints
     lineage_path: str | None = None
     batch_lsn_width: int = 100_000  # maxOffsetsPerTrigger analog (DtQueue cap)
+    # first-run start position (reference: resuming from a configured binlog
+    # file/position or lsn, position.md:5-12 / task_config [extractor]
+    # binlog_position): a FRESH job (no committed checkpoint) begins the tail
+    # strictly AFTER this lsn; once any checkpoint exists it wins — a
+    # configured start never rewinds an established job.
+    start_lsn: int = 0
     key_col: str = "url"
     filter: ChangeFilter = field(default_factory=ChangeFilter)
     router: Router = field(default_factory=Router)
@@ -324,6 +330,8 @@ class CdcEngine:
         """Consume the change stream to its current end (snapshot+tail replay)."""
         t0 = time.monotonic()
         hwm, last_batch = self.committed_hwm()
+        if last_batch < 0 and self.cfg.start_lsn > hwm:
+            hwm = self.cfg.start_lsn  # fresh job: begin after the configured position
         end = self.max_lsn()
         pending_ddl_lsns = [d["lsn"] for d in self._ddls]
         if pending_ddl_lsns:

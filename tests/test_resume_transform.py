@@ -114,3 +114,40 @@ def test_sampled_check_subset_and_exactness(spark, tmp_path):
     # sample is deterministic
     again = {r["k"] for r in check(src, tgt, ["k"], ["v"], sample_interval=5).collect()}
     assert again == {r["k"] for r in sampled.collect()}
+
+
+def test_start_lsn_gates_fresh_jobs_only(spark, tmp_path):
+    """[extractor] start_lsn (reference binlog-position resume): a FRESH job
+    begins the tail strictly after the configured lsn; once a checkpoint
+    exists, the checkpoint wins and start_lsn never rewinds or re-gates."""
+    n_seed, n_events = 80, 400
+    changes = str(tmp_path / "changes")
+    gen_changes(spark, n_events, n_seed, seed=3).write.parquet(changes)
+    pages_path = str(tmp_path / "pages")
+    t = LakeTable.create(pages_path, PAGES_COLS, bucket_key="url", bucket_count=4)
+    t.append(gen_pages_seed(spark, n_seed, seed=3))
+
+    from ape_dts_spark.config import load_task_config
+
+    ini = f"""
+[extractor]
+changes_path={changes}
+batch_lsn_width=100
+start_lsn=200
+[sinker]
+pages_path={pages_path}
+[pipeline]
+job_id=sl1
+"""
+    cfg = load_task_config(ini, is_text=True)
+    assert cfg.start_lsn == 200
+    cfg.extract_text = False
+    s1 = CdcEngine(spark, cfg).run()
+    assert s1["events"] == n_events - 200  # only lsn 201..400 applied
+    got = t.refresh().read(spark)
+    # no row carries a pre-start lsn except the untouched seed (last_lsn 0)
+    assert got.filter((F.col("last_lsn") > 0) & (F.col("last_lsn") <= 200)).count() == 0
+    # an established job ignores start_lsn (even a HIGHER one): nothing replays
+    cfg.start_lsn = 390
+    s2 = CdcEngine(spark, cfg).run()
+    assert s2["batches"] == 0
