@@ -12,6 +12,7 @@ user's mental model maps 1:1:
     changes_path=/data/changes
     ddl_path=/data/ddl
     batch_lsn_width=100000              ; DtQueue cap / maxOffsetsPerTrigger analog
+    start_lsn=0                         ; first-run tail position (binlog-position analog)
 
     [filter]
     do_events=insert,update,delete      ; rdb_filter do_events
