@@ -103,7 +103,9 @@ def embedding_near_dup_pairs(
     the cap (the skew unit test covers the capped branch).
     """
     tables = [random_hyperplanes(dim, planes_per_table, seed + t) for t in range(n_tables)]
-    base = df.select(
+    from ape_dts_spark.operators.text_dedup import _spread
+
+    base = _spread(df).select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
         _norm(F.col(vec_col)).alias("_n"),

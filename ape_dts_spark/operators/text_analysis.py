@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ape_dts_spark.operators.text_dedup import _spread
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
 
 # tiny marker lexicons per language — deterministic n-gram/stopword heuristic
@@ -142,7 +144,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
     )
-    base = docs.select(
+    base = _spread(docs).select(
         F.col(id_col),
         words.alias("_w"),
         n.alias("_n"),
@@ -202,7 +204,7 @@ def corpus_ngram_topk(
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
     )
     return (
-        docs.select(F.explode(grams).alias("ngram"))
+        _spread(docs).select(F.explode(grams).alias("ngram"))
         .filter(F.length("ngram") > 0)
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
