@@ -12,6 +12,14 @@ task type comes from `[extractor] extract_type`:
     snapshot          chunked, resume-by-chunk seed load from snapshot_path
     cdc               checkpointed LSN-sliced replay of changes_path
     snapshot_and_cdc  seed load then tail — the reference's full-sync flow
+    struct            struct migration: render source DDL + create the lake
+                      table with the source's schema (struct extractor/sinker)
+    check             source-vs-target consistency check -> check log
+                      (miss/diff/extra rows at check_log_path)
+    revise            re-apply flagged miss/diff keys from the check log
+                      (check-log re-extraction -> MERGE)
+    review            re-check ONLY the previously-flagged keys (the
+                      reference's check -> revise -> review flow)
 
 On a cluster the SparkSession is owned by spark-submit (builder
 .getOrCreate() picks up the submitted master/conf); locally we default to
@@ -50,7 +58,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--task",
         default=None,
-        choices=["snapshot", "cdc", "snapshot_and_cdc"],
+        choices=[
+            "snapshot", "cdc", "snapshot_and_cdc", "struct", "check", "revise", "review",
+        ],
         help="override [extractor] extract_type",
     )
     ap.add_argument("--max-batches", type=int, default=None)
@@ -74,13 +84,113 @@ def main(argv: list[str] | None = None) -> int:
     spark = _get_session(args.master)
     summary: dict = {"task": task, "job_id": cfg.job_id}
 
-    if not LakeTable.exists(cfg.pages_path):
+    # check/review verify an EXISTING target (auto-creating one would turn a
+    # misconfigured path into an all-miss report); struct's job IS creation
+    if task in ("snapshot", "cdc", "snapshot_and_cdc", "revise") and not LakeTable.exists(
+        cfg.pages_path
+    ):
         LakeTable.create(
             cfg.pages_path,
             PAGES_COLS,
             bucket_key=cfg.key_col,
             bucket_count=int(snk.get("bucket_count", "16")),
         )
+
+    if task == "struct":
+        from ape_dts_spark.operators.struct_meta import (
+            create_lake_table_like,
+            render_create_table,
+        )
+
+        src = ext.get("snapshot_path")
+        if not src:
+            print("error: struct task needs [extractor] snapshot_path", file=sys.stderr)
+            return 2
+        import os
+
+        tb = os.path.basename(cfg.pages_path.rstrip("/"))
+        ddl = render_create_table(spark, src, tb, key_cols=[cfg.key_col])
+        created = False
+        if not LakeTable.exists(cfg.pages_path):
+            create_lake_table_like(
+                cfg.pages_path, spark, src,
+                bucket_key=cfg.key_col,
+                bucket_count=int(snk.get("bucket_count", "16")),
+            )
+            created = True
+        summary["struct"] = {"ddl": ddl, "created": created}
+
+    if task in ("check", "review"):
+        from ape_dts_spark.operators.checker import check as run_check
+        from ape_dts_spark.operators.checker import review as run_review
+        from pyspark.sql import functions as F
+
+        src_path = ext.get("snapshot_path")
+        if not src_path:
+            print(f"error: {task} task needs [extractor] snapshot_path", file=sys.stderr)
+            return 2
+        source = spark.read.parquet(src_path)
+        target = LakeTable.load(cfg.pages_path).read(spark)
+        log_path = snk.get("check_log_path") or cfg.pages_path.rstrip("/") + "_checklog"
+        # default compare set: columns on BOTH sides minus the key and the
+        # engine's own bookkeeping column (its lsn differs by construction);
+        # [extractor] compare_cols overrides
+        compare_cols = [
+            c.strip() for c in (ext.get("compare_cols") or "").split(",") if c.strip()
+        ] or [
+            c
+            for c in source.columns
+            if c in set(target.columns) and c not in (cfg.key_col, "last_lsn")
+        ]
+        if task == "check":
+            res = run_check(
+                source, target, [cfg.key_col],
+                compare_cols=compare_cols,
+                sample_interval=int(ext.get("sample_interval", "1")),
+            )
+            # the reference's check log records problems only
+            problems = res.filter(F.col("check_result") != "match")
+            problems.write.mode("overwrite").parquet(log_path)
+            out_path = log_path
+        else:
+            prior = spark.read.parquet(log_path)
+            res = run_review(source, target, prior, [cfg.key_col], compare_cols=compare_cols)
+            out_path = log_path.rstrip("/") + "_review"
+            res.write.mode("overwrite").parquet(out_path)
+        counts = {
+            r["check_result"]: r["n"]
+            for r in res.groupBy("check_result").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        summary[task] = {"log_path": out_path, "counts": counts}
+
+    if task == "revise":
+        from ape_dts_spark.operators.merge import merge_into
+        from pyspark.sql import functions as F
+
+        src_path = ext.get("snapshot_path")
+        if not src_path:
+            print("error: revise task needs [extractor] snapshot_path", file=sys.stderr)
+            return 2
+        log_path = snk.get("check_log_path") or cfg.pages_path.rstrip("/") + "_checklog"
+        log = spark.read.parquet(log_path)
+        keys = log.filter(F.col("check_result").isin("miss", "diff")).select(cfg.key_col)
+        source = spark.read.parquet(src_path)
+        table = LakeTable.load(cfg.pages_path)
+        # check-log re-extraction (mysql_check_extractor.rs:50-60): pull the
+        # flagged keys' CURRENT source rows and re-drive the normal MERGE
+        fixes = source.join(F.broadcast(keys), on=cfg.key_col, how="left_semi")
+        next_lsn = (
+            table.read(spark).agg(F.max("last_lsn").alias("m")).collect()[0]["m"] or 0
+        ) + 1
+        changes = fixes.withColumn("op", F.lit("update")).withColumn(
+            "lsn", F.lit(next_lsn).cast("long")
+        )
+        stats = merge_into(spark, table, changes, dedup_source=False)
+        summary["revise"] = {
+            "revised_keys": keys.count(),
+            "merged_rows": stats.output_rows,
+            "snapshot_version": stats.new_version,
+        }
 
     if task in ("snapshot", "snapshot_and_cdc"):
         snapshot_path = ext.get("snapshot_path")
