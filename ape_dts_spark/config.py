@@ -29,6 +29,7 @@ user's mental model maps 1:1:
     merge_mode=mor                      ; mor | cow
     compact_ratio=0.5
     catalog_root=/data/db               ; enables in-stream table-lifecycle DDL
+    expire_keep_last=10                 ; snapshot retention + orphan GC (0 = off)
 
     [pipeline]
     job_id=job1
@@ -104,5 +105,6 @@ def load_task_config(path_or_text: str, is_text: bool = False) -> EngineConfig:
         compact_ratio=float(snk.get("compact_ratio", "0.5")),
         transform=prc.get("transform") or None,
         catalog_root=snk.get("catalog_root") or None,
+        expire_keep_last=int(snk.get("expire_keep_last", "0")),
         max_rps=int(ppl.get("max_rps", "0")),
     )

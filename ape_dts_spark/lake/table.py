@@ -870,3 +870,78 @@ class LakeTable:
             return LakeTable(
                 self.path, _Manifest.from_json(fh.read(), table_path=self.path)
             ).read(spark)
+
+    def expire_snapshots(self, keep_last: int = 10, dry_run: bool = False) -> dict:
+        """Bounded snapshot retention + orphan-file GC (Iceberg
+        `expire_snapshots` / `remove_orphan_files` analog).
+
+        Every commit adds a manifest and supersedes data files that stay on
+        disk for time travel; at a 10^10-event tail that history grows
+        without bound.  This keeps the newest ``keep_last`` manifests,
+        deletes the older manifest JSONs FIRST (readers can no longer begin
+        resolving an expired version), then deletes data/segment files that
+        (a) are referenced by NO kept manifest and (b) carry a version
+        prefix ``v{N}-`` at or below the newest expired version — the gate
+        that makes GC safe against an in-flight commit, whose freshly-moved
+        files always carry a version above every expired one.  A crash
+        mid-GC leaves only unreferenced files; the next call removes them.
+        Single-writer per table, like every other commit path."""
+        meta = os.path.join(self.path, "_meta")
+        versions = self.history()
+        keep_last = max(1, keep_last)
+        expired = versions[:-keep_last]
+        report = {
+            "kept_versions": versions[-keep_last:],
+            "expired_versions": expired,
+            "deleted_files": 0,
+            "deleted_bytes": 0,
+            "dry_run": dry_run,
+        }
+        if not expired:
+            return report
+        max_expired = max(expired)
+        referenced: set[str] = set()
+        seg_referenced: set[str] = set()
+        for v in report["kept_versions"]:
+            with open(os.path.join(meta, f"v{v}.json")) as fh:
+                m = _Manifest.from_json(fh.read(), table_path=self.path)
+            referenced.update(f["path"] for f in m.files)
+            seg_referenced.update(s["path"] for s in m.file_segments)
+        if not dry_run:
+            for v in expired:
+                os.unlink(os.path.join(meta, f"v{v}.json"))
+
+        def _gc(rel_dir: str, fname_version, refs: set[str]) -> None:
+            d = os.path.join(self.path, rel_dir)
+            if not os.path.isdir(d):
+                return
+            for fn in os.listdir(d):
+                rel = f"{rel_dir}/{fn}"
+                fv = fname_version(fn)
+                if fv is None or fv > max_expired or rel in refs:
+                    continue
+                full = os.path.join(d, fn)
+                report["deleted_files"] += 1
+                report["deleted_bytes"] += os.path.getsize(full)
+                if not dry_run:
+                    os.unlink(full)
+
+        def _data_v(fn: str):
+            if not (fn.startswith("v") and fn.endswith(".parquet")):
+                return None
+            try:
+                return int(fn[1:].split("-", 1)[0])
+            except ValueError:
+                return None
+
+        def _seg_v(fn: str):
+            if not (fn.startswith("seg-v") and fn.endswith(".json")):
+                return None
+            try:
+                return int(fn[5:].split("-", 1)[0])
+            except ValueError:
+                return None
+
+        _gc("data", _data_v, referenced)
+        _gc("_meta", _seg_v, seg_referenced)
+        return report

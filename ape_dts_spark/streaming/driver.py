@@ -124,6 +124,13 @@ class EngineConfig:
     # the per-batch maintenance stall and amortizes compaction across the
     # tail instead of a whole-table stop-the-world rewrite
     compact_max_buckets: int = 16
+    # snapshot retention (Iceberg expire_snapshots analog): keep this many
+    # manifests per engine table (pages + checkpoints + lineage) and GC
+    # superseded data files each batch.  0 disables (unbounded time travel).
+    # At a 10^10-event tail, unbounded history means every commit's manifest
+    # and every superseded file lives forever — retention is what keeps
+    # metadata listing and storage O(keep_last), not O(batches).
+    expire_keep_last: int = 0
     # catalog directory for in-stream table-lifecycle DDL (reference
     # ddl_type.rs:7-36 CreateTable/DropTable/RenameTable/Create+DropDatabase,
     # replayed as change events in ddl_test/src_test.sql:1-60).  When set,
@@ -475,6 +482,12 @@ class CdcEngine:
         # fold delta files into base when they dominate (MOR maintenance;
         # crash-safe: compaction is one atomic commit, a no-op to replay)
         compacted = maybe_compact(self.spark, self.pages, cfg)
+        if cfg.expire_keep_last > 0:
+            # bounded-retention GC (driver-side metadata + unlink, no Spark
+            # job); crash-safe: leftover orphans are re-collected next batch
+            self.pages.expire_snapshots(keep_last=cfg.expire_keep_last)
+            self.checkpoints.expire_snapshots(keep_last=cfg.expire_keep_last)
+            self.lineage.expire_snapshots(keep_last=cfg.expire_keep_last)
         t_compact = time.monotonic() - t0 - t_prep - t_feed - t_merge
 
         if ddl is not None:

@@ -215,3 +215,19 @@ def test_cow_mode_e2e_and_summary_lineage(spark, fixture_dir, tmp_path):
     per_batch = ln.groupby("batch_id").size()
     assert (per_batch == 1).all(), "COW lineage must be one summary row per batch"
     assert int(ln["input_rows"].sum()) == summary["events"]
+
+
+def test_engine_retention_bounds_history(spark, fixture_dir, tmp_path):
+    """expire_keep_last: per-batch snapshot retention keeps every engine
+    table's manifest count O(keep_last) over the tail — with the final state
+    still equal to the oracle and resume bookkeeping intact."""
+    t = _seed_pages(spark, tmp_path / "pages")
+    eng, summary = _run(spark, fixture_dir, t.path, expire_keep_last=2)
+    assert summary["batches"] >= 5
+    _assert_tables_equal(_pages_pd(spark, t), _oracle_pd(spark, fixture_dir))
+    assert len(t.refresh().history()) <= 3  # keep_last + the batch's own commits
+    assert len(eng.checkpoints.history()) <= 3
+    assert len(eng.lineage.history()) <= 3
+    # resume protocol unaffected: a rerun replays nothing
+    _, summary2 = _run(spark, fixture_dir, t.path, expire_keep_last=2)
+    assert summary2["batches"] == 0

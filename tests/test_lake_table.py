@@ -256,3 +256,51 @@ def test_catalog_rejects_empty_and_path_names(tmp_path):
             cat.create_table(bad, [("id", "long")])
         with pytest.raises(ValueError, match="illegal"):
             cat.drop_table(bad)
+
+
+def test_expire_snapshots_bounds_history_and_gcs_orphans(spark, tmp_path):
+    """Iceberg expire_snapshots analog: keep the newest N manifests, drop
+    older manifest JSONs, GC data files no kept snapshot references —
+    without ever touching files newer than the expired versions, and
+    idempotently (a second run is a no-op)."""
+    from ape_dts_spark.operators.merge import merge_into
+
+    cols = [("url", "string", False), ("v", "int", True), ("last_lsn", "long", True)]
+    t = LakeTable.create(str(tmp_path / "p"), cols, bucket_key="url", bucket_count=2)
+    t.append(spark.createDataFrame([(f"u{i}", i, 0) for i in range(20)],
+                                   "url string, v int, last_lsn long"))
+    def one_merge(r):
+        ch = spark.createDataFrame(
+            [(f"u{i}", 100 * r + i, "update", 10 * r + i + 1) for i in range(10)],
+            "url string, v int, op string, lsn long",
+        )
+        merge_into(spark, t, ch)
+
+    for r in range(3):  # MOR deltas accrue
+        one_merge(r)
+    t.compact(spark)  # folds the deltas: pre-compact files become history-only
+    one_merge(3)  # keep_last=2 window = [compact, this merge] -> orphans exist
+    want = {r["url"]: r["v"] for r in t.read(spark).collect()}
+    versions = t.history()
+    assert len(versions) >= 6
+
+    dry = t.expire_snapshots(keep_last=2, dry_run=True)
+    assert dry["expired_versions"] == versions[:-2] and dry["deleted_files"] > 0
+    assert t.history() == versions  # dry run touched nothing
+
+    rep = t.expire_snapshots(keep_last=2)
+    assert t.history() == versions[-2:]
+    assert rep["deleted_files"] == dry["deleted_files"] > 0
+    # current state fully intact after GC
+    t2 = LakeTable.load(str(tmp_path / "p"))
+    assert {r["url"]: r["v"] for r in t2.read(spark).collect()} == want
+    # expired versions are no longer time-travelable
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t2.read_version(spark, versions[0])
+    # kept history still time-travels
+    assert t2.read_version(spark, versions[-2]).count() > 0
+    # idempotent
+    rep2 = t2.expire_snapshots(keep_last=2)
+    assert rep2["deleted_files"] == 0 and rep2["expired_versions"] == []
