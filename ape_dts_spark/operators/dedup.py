@@ -155,7 +155,7 @@ def split_key_change_updates(
     return df.select(F.explode(events).alias("_e")).select("_e.*")
 
 
-def reverse_ops(df: DataFrame, op_col: str = "op") -> DataFrame:
+def reverse_ops(df: DataFrame, op_col: str = "op", key_col: str = "url") -> DataFrame:
     """Insert<->Delete swap for reverse/undo streams (reference row_data.rs:54-69).
 
     Two fidelity levels, keyed on whether the stream carries full before
@@ -214,7 +214,11 @@ def reverse_ops(df: DataFrame, op_col: str = "op") -> DataFrame:
         .otherwise(orig)
     }
     for cur, bc in pairs:
-        if cur == "url":
+        if cur == key_col:
+            # the KEY column never takes the generic payload-restore below: a
+            # non-key-change event's before_<key> is NULL, and writing that
+            # NULL into the key would corrupt every reversed delete/update.
+            # Keys swap only for genuine key-changing updates.
             swap_when = (orig == "update") & F.col(bc).isNotNull() & existed
             cols[cur] = F.when(swap_when, F.col(bc)).otherwise(F.col(cur))
             cols[bc] = F.when(swap_when, F.col(cur)).otherwise(F.col(bc))

@@ -29,13 +29,38 @@ def hot_key_report(
     """
     counts = changes.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
     top = counts.orderBy(F.col("n").desc(), F.col(key_col).asc()).limit(top_k)
-    summary = counts.agg(
+    # The ratios are rounded in EXACT integer space (round-half-up on the
+    # true rational via `(2*10^p*num + den) div (2*den)`, decimal(38,0) so
+    # 10^10-scale products can't overflow), NOT with round() on a double:
+    # round(max/avg, 2) lands on representation boundaries (e.g. a true
+    # quotient of 1.485 is the double 1.48499999999999987, which DuckDB
+    # rounds to 1.49 and Spark to 1.48 — a reproduced cross-engine parity
+    # failure).  The SQL oracle mirrors the same integer formula with
+    # HUGEINT `//`, so both engines agree bit-for-bit.
+    raw = counts.agg(
         F.sum("n").alias("n_events"),
         F.count(F.lit(1)).alias("n_keys"),
-        F.round(F.avg("n"), 2).alias("mean_per_key"),
         F.max("n").alias("max_per_key"),
-        F.round(F.max("n") / F.avg("n"), 2).alias("skew_ratio"),
-        F.round(F.max("n") / F.sum("n"), 4).alias("top1_frac"),
+    )
+    summary = raw.select(
+        F.col("n_events"),
+        F.col("n_keys"),
+        (
+            F.expr("(CAST(200 AS DECIMAL(38,0)) * n_events + n_keys) div (2 * n_keys)")
+            / 100.0
+        ).alias("mean_per_key"),
+        F.col("max_per_key"),
+        (
+            F.expr(
+                "(CAST(200 AS DECIMAL(38,0)) * max_per_key * n_keys + n_events)"
+                " div (2 * n_events)"
+            )
+            / 100.0
+        ).alias("skew_ratio"),
+        (
+            F.expr("(CAST(20000 AS DECIMAL(38,0)) * max_per_key + n_events) div (2 * n_events)")
+            / 10000.0
+        ).alias("top1_frac"),
     )
     return top, summary
 

@@ -43,32 +43,57 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _round4_div(num: str, den: str):
+    """round(num/den, 4) computed in EXACT integer space (round-half-up on
+    the true rational, decimal(38,0) against overflow) — round() on the
+    double quotient lands on representation boundaries and diverges across
+    engines (e.g. a true ratio of X.xxxx5 whose nearest double sits just
+    below the half).  The DuckDB oracle mirrors the same formula with
+    HUGEINT `//`."""
+    return F.expr(f"(CAST(20000 AS DECIMAL(38,0)) * ({num}) + ({den})) div (2 * ({den}))") / 10000.0
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Gopher/C4-style cheap quality signals + a composite score in [0,1]."""
+    """Gopher/C4-style cheap quality signals + a composite score in [0,1].
+
+    All signal counts are integers; every rounded output is computed with
+    exact integer round-half-up (see _round4_div), including the composite:
+        score = (2*min(w,50)/50*... ) / 5
+    rewritten over the common denominator 250*max(w,1)*max(c,1), so the
+    reported 4-digit values are identical on any engine with exact integer
+    division."""
     words = F.filter(_words(F.col(text_col)), lambda w: F.length(w) > 0)
-    n_words = F.size(words)
-    n_chars = F.length(F.col(text_col))
-    mean_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
-    stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
-    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
-    punct_chars = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
-    punct_ratio = F.when(n_chars > 0, punct_chars / n_chars).otherwise(F.lit(0.0))
-    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
-    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
-    score = (
-        F.least(n_words / F.lit(50.0), F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2
-        + alpha_ratio * 0.2
-        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
-    )
-    return docs.select(
+    base = docs.select(
         F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        F.size(words).cast("long").alias("_w"),
+        F.length(F.col(text_col)).cast("long").alias("_c"),
+        F.size(F.filter(words, lambda w: w.isin(STOPWORDS))).cast("long").alias("_sh"),
+        (
+            F.length(F.col(text_col))
+            - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+        ).cast("long").alias("_p"),
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")).cast("long").alias("_a"),
+    )
+    zero = F.lit(0.0)
+    # composite numerator over D0 = 50*max(w,1)*max(c,1); score = N/(5*D0);
+    # the degenerate-denominator conventions (w=0 -> ratio 0, c=0 -> punct
+    # term 1) fall out of the greatest(.,1) guards because the matching
+    # numerators are 0 there
+    score_n = (
+        "2 * least(_w, 50) * greatest(_w, 1) * greatest(_c, 1)"
+        " + 50 * greatest(_c, 1) * least(5 * _sh, _w)"
+        " + 50 * greatest(_w, 1) * _a"
+        " + 50 * greatest(_w, 1) * (greatest(_c, 1) - least(4 * _p, _c))"
+    )
+    score_d = "250 * greatest(_w, 1) * greatest(_c, 1)"
+    return base.select(
+        F.col(id_col),
+        F.col("_w").alias("n_words"),
+        F.when(F.col("_w") > 0, _round4_div("_c", "_w")).otherwise(zero).alias("mean_word_len"),
+        F.when(F.col("_w") > 0, _round4_div("_sh", "_w")).otherwise(zero).alias("stopword_ratio"),
+        F.when(F.col("_c") > 0, _round4_div("_p", "_c")).otherwise(zero).alias("punct_ratio"),
+        F.when(F.col("_c") > 0, _round4_div("_a", "_c")).otherwise(zero).alias("alpha_ratio"),
+        _round4_div(score_n, score_d).alias("quality_score"),
     )
 
 
@@ -103,6 +128,7 @@ def quality_filter(
     min_stop_ratio: float = 0.03,
     max_punct_ratio: float = 0.2,
     min_alpha_ratio: float = 0.5,
+    with_signals: bool = False,
 ) -> DataFrame:
     """C4/Gopher-style keep/drop decision over the quality signals.
 
@@ -110,7 +136,9 @@ def quality_filter(
     (too_short -> low_stopword -> high_punct -> low_alpha), reason NULL for
     keepers.  Built on quality_score's ROUNDED signals so the decision is
     bit-reproducible across engines; pure Column expressions on top of the
-    same single-pass scan."""
+    same single-pass scan.  `with_signals=True` also carries the
+    quality_score columns through (one scan for signals AND decision — the
+    audit-table shape)."""
     q = quality_score(docs, id_col, text_col)
     reason = (
         F.when(F.col("n_words") < min_words, F.lit("too_short"))
@@ -119,8 +147,9 @@ def quality_filter(
         .when(F.col("alpha_ratio") < min_alpha_ratio, F.lit("low_alpha"))
         .otherwise(F.lit(None).cast("string"))
     )
+    lead = [F.col(c) for c in q.columns] if with_signals else [F.col(id_col)]
     return q.select(
-        F.col(id_col),
+        *lead,
         reason.isNull().alias("keep"),
         reason.alias("drop_reason"),
     )

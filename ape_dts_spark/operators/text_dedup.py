@@ -38,8 +38,22 @@ def _spread(df: DataFrame) -> DataFrame:
     serial (measured 4x on the sf0.1 documents table: one ~1.5 MB file ->
     one partition -> one core).  Repartition only when the input is UNDER
     the session's parallelism: at real scale inputs already carry more
-    partitions than that and this is a zero-cost no-op with no shuffle."""
+    partitions than that and this is a zero-cost no-op with no shuffle.
+
+    The partition-count probe (`df.rdd.getNumPartitions()`) forces physical
+    planning of the upstream plan, so it is gated: a plan that already
+    contains a shuffle-producing operator (join/aggregate/window/
+    repartition/dedup) emits shuffle.partitions partitions by construction —
+    skip both the probe and the repartition there, keeping _spread free on
+    arbitrary derived inputs (it only ever probes scan-shaped plans, where
+    planning is trivially cheap)."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(
+        tok in plan
+        for tok in ("Join", "Aggregate", "Window", "Repartition", "Deduplicate")
+    ):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -51,11 +51,69 @@ def url_host(url_col):
     return F.lower(F.regexp_extract(F.trim(url_col), _HOST, 1))
 
 
+# label-suffix extractors shared by the Column and SQL spellings: group 1 is
+# the last N dot-separated labels; regexp_extract returns '' when the host
+# has fewer labels (both engines), which drives the edge cases below.
+_LAST = {
+    2: r"([^.]+\.[^.]+)$",
+    3: r"([^.]+\.[^.]+\.[^.]+)$",
+    4: r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$",
+}
+
+
+def registered_domain_from_host(host_col):
+    """Public-suffix-aware registered domain of a (lowercased) host Column.
+
+    Resolution against the checked-in PSL snapshot (`psl_snapshot` — plain
+    2/3-label rules; see that module for scope): if the host's last three
+    labels form a listed suffix the registered domain is its last FOUR
+    labels, else if the last two do it is the last THREE, else the 2-label
+    default (every TLD is implicitly a suffix, the PSL's own fallback rule).
+    Membership is a literal IN over the snapshot — whole-stage codegen, no
+    join/UDF, identical on any SQL engine (`registered_domain_sql` emits the
+    same literals for the DuckDB oracle).
+
+    Edge cases (from regexp_extract's '' on no-match): a host that IS a
+    public suffix (e.g. 'co.uk') has no registrable domain -> ''; a dotless
+    host -> '' (unchanged from the pre-PSL behavior).
+    """
+    from ape_dts_spark.operators.psl_snapshot import PSL_2LABEL, PSL_3LABEL
+
+    last2 = F.regexp_extract(host_col, _LAST[2], 1)
+    last3 = F.regexp_extract(host_col, _LAST[3], 1)
+    last4 = F.regexp_extract(host_col, _LAST[4], 1)
+    return (
+        F.when(last3.isin(*PSL_3LABEL), last4)
+        .when(last2.isin(*PSL_2LABEL), last3)
+        .otherwise(last2)
+    )
+
+
 def registered_domain(url_col):
-    """Last two host labels — the skew/grouping axis for hot-domain salting.
-    (A public-suffix list would refine co.uk-style hosts; two labels is the
-    deterministic, dependency-free approximation both engines reproduce.)"""
-    return F.regexp_extract(url_host(url_col), r"([^.]+\.[^.]+)$", 1)
+    """PSL-aware registered domain — the skew/grouping axis for hot-domain
+    salting and per-domain crawl caps (see registered_domain_from_host)."""
+    return registered_domain_from_host(url_host(url_col))
+
+
+def registered_domain_sql(host_sql: str) -> str:
+    """The DuckDB/ANSI spelling of registered_domain_from_host over the SQL
+    expression `host_sql`, with the SAME psl_snapshot literals embedded —
+    generated from one source of truth so the engines cannot drift."""
+    from ape_dts_spark.operators.psl_snapshot import PSL_2LABEL, PSL_3LABEL
+
+    def _in(values: tuple[str, ...]) -> str:
+        return ", ".join(f"'{v}'" for v in values)
+
+    # DuckDB single-quoted literals keep backslashes verbatim — embed the
+    # patterns as-is (no doubling)
+    l2, l3, l4 = _LAST[2], _LAST[3], _LAST[4]
+    return (
+        f"CASE WHEN regexp_extract({host_sql}, '{l3}', 1) IN ({_in(PSL_3LABEL)}) "
+        f"THEN regexp_extract({host_sql}, '{l4}', 1) "
+        f"WHEN regexp_extract({host_sql}, '{l2}', 1) IN ({_in(PSL_2LABEL)}) "
+        f"THEN regexp_extract({host_sql}, '{l3}', 1) "
+        f"ELSE regexp_extract({host_sql}, '{l2}', 1) END"
+    )
 
 
 def canonicalize_urls(

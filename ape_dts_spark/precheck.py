@@ -105,6 +105,30 @@ def precheck(spark: SparkSession, cfg: EngineConfig, deep: bool = False) -> dict
                 "but EngineConfig.catalog_root is not set — the run would fail "
                 "at the first lifecycle barrier"
             )
+        if lifecycle:
+            # lifecycle DDL resolves table names against catalog_root; if an
+            # event names the BOUND table but the bound table lives elsewhere,
+            # the drop/rename would act on a same-named catalog table instead
+            # (or die mid-batch on the re-point) — fail here, before any data
+            # moves.  Events about other tables are fine wherever pages lives.
+            import os
+
+            bound = os.path.basename(cfg.pages_path.rstrip("/"))
+            pages_dir = os.path.dirname(os.path.abspath(cfg.pages_path.rstrip("/")))
+            in_catalog = pages_dir == os.path.abspath(cfg.catalog_root.rstrip("/"))
+            if not in_catalog:
+                for r in rows:
+                    if r["ddl_type"] not in ("drop_table", "rename_table"):
+                        continue
+                    p = json.loads(r["payload"])
+                    if p.get("table") == bound or p.get("from") == bound:
+                        raise PrecheckError(
+                            f"ddl stream {r['ddl_type']}s the bound table "
+                            f"{bound!r} but pages_path {cfg.pages_path!r} is not "
+                            f"directly under catalog_root {cfg.catalog_root!r} — "
+                            "the DDL would resolve against the catalog and act "
+                            "on the wrong table"
+                        )
         report["n_ddl"] = len(rows)
         report["ddl_kinds"] = sorted(kinds)
 

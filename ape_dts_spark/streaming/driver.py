@@ -591,6 +591,26 @@ class CdcEngine:
         root = self._require_catalog_root(t)
         cat = Catalog(root)
         bound = self._bound_table_name()
+        # lifecycle names resolve against catalog_root; an event naming the
+        # BOUND table while the bound table lives elsewhere would drop/rename
+        # a same-named catalog table in its place (and the bound-table
+        # branches would re-point at a path that was never ours).  precheck()
+        # enforces this up front; this guard catches engines constructed
+        # without a precheck.  Events about other tables are fine wherever
+        # pages lives.
+        pages_dir = os.path.dirname(os.path.abspath(self.cfg.pages_path.rstrip("/")))
+        in_catalog = pages_dir == os.path.abspath(root.rstrip("/"))
+        if (
+            not in_catalog
+            and t in ("drop_table", "rename_table")
+            and (p.get("table") == bound or p.get("from") == bound)
+        ):
+            raise ValueError(
+                f"lifecycle ddl {t!r} names the bound table {bound!r} but "
+                f"pages_path {self.cfg.pages_path!r} is not directly under "
+                f"catalog_root {root!r} — run precheck(); the DDL would act on "
+                "the wrong table"
+            )
         if t == "create_table":
             cols = [tuple(c) for c in p["cols"]]
             cat.create_table(

@@ -164,3 +164,22 @@ def test_two_phase_dedup_equals_single_phase(spark):
     )
     assert a == b
     assert len(a) == 20
+
+
+def test_reverse_ops_custom_key_col(spark):
+    # ADVICE r3: the full-before-image path must treat the CONFIGURED key
+    # column specially — for a stream keyed on 'id', a reversed delete/update
+    # with before_exists=true must NOT take the generic payload swap (its
+    # before_id is NULL for non-key-change events -> NULL-key corruption).
+    df = spark.createDataFrame(
+        [
+            (1, None, "v2", "v1", "update", True),
+            (2, None, None, "old9", "delete", True),
+        ],
+        "id long, before_id long, val string, before_val string, "
+        "op string, before_exists boolean",
+    )
+    out = {r["id"]: (r["op"], r["val"]) for r in reverse_ops(df, key_col="id").collect()}
+    # keys intact (not nulled from before_id), payloads restored
+    assert out[1] == ("update", "v1")
+    assert out[2] == ("insert", "old9")

@@ -101,7 +101,9 @@ def test_precheck_ok_and_failures(spark, tmp_path):
     cfg4.ddl_path = lc_ddl
     with pytest.raises(PrecheckError, match="catalog_root"):
         precheck(spark, cfg4)
-    cfg4.catalog_root = str(tmp_path / "db")
+    # catalog_root must CONTAIN the bound table when lifecycle DDL names it
+    # (r4 coherence check) — point it at pages' parent dir
+    cfg4.catalog_root = str(tmp_path / "z")
     rep4 = precheck(spark, cfg4)
     assert rep4["n_ddl"] == 3 and "rename_table" in rep4["ddl_kinds"]
 
@@ -165,3 +167,31 @@ def test_repetition_stats_array_side_is_shuffle_free(spark):
 
     docs = spark.createDataFrame([(1, "a b c a b")], ["doc_id", "text"])
     assert exchange_count(repetition_stats(docs)) <= 3
+
+
+def test_precheck_lifecycle_bound_table_outside_catalog(spark, tmp_path):
+    # a drop/rename DDL naming the BOUND table is fatal when pages_path does
+    # not live under catalog_root (the DDL would act on a same-named catalog
+    # table instead); lifecycle events about OTHER tables stay legal.
+    import json as _json
+
+    cfg = _mk_cfg(tmp_path, spark)  # pages under tmp_path, not under db/
+    cfg.catalog_root = str(tmp_path / "db")
+    bound = cfg.pages_path.rstrip("/").split("/")[-1]
+    ddl_dir = str(tmp_path / "lc_ddl_bound")
+    spark.createDataFrame(
+        [(600, "rename_table", _json.dumps({"from": bound, "to": "pages2"}))],
+        "lsn long, ddl_type string, payload string",
+    ).write.parquet(ddl_dir)
+    cfg.ddl_path = ddl_dir
+    with pytest.raises(PrecheckError, match="wrong table"):
+        precheck(spark, cfg)
+
+    # same shape but naming an unrelated table: passes
+    ddl_ok = str(tmp_path / "lc_ddl_other")
+    spark.createDataFrame(
+        [(600, "rename_table", _json.dumps({"from": "other_tb", "to": "other2"}))],
+        "lsn long, ddl_type string, payload string",
+    ).write.parquet(ddl_ok)
+    cfg.ddl_path = ddl_ok
+    precheck(spark, cfg)
