@@ -30,6 +30,10 @@ user's mental model maps 1:1:
     compact_ratio=0.5
     catalog_root=/data/db               ; enables in-stream table-lifecycle DDL
     expire_keep_last=10                 ; snapshot retention + orphan GC (0 = off)
+    feed_path=/data/feed                ; outbound change feed (KafkaSinker analog)
+    feed_format=json                    ; json | avro (reference AvroData envelope)
+    feed_before_images=false            ; attach true before-images to the feed
+    node_id=node_a                      ; data-marker identity for two-way sync
 
     [pipeline]
     job_id=job1
@@ -107,4 +111,9 @@ def load_task_config(path_or_text: str, is_text: bool = False) -> EngineConfig:
         catalog_root=snk.get("catalog_root") or None,
         expire_keep_last=int(snk.get("expire_keep_last", "0")),
         max_rps=int(ppl.get("max_rps", "0")),
+        feed_path=snk.get("feed_path") or None,
+        feed_format=snk.get("feed_format", "json"),
+        feed_before_images=str(snk.get("feed_before_images", "false")).lower()
+        in ("1", "true", "yes"),
+        node_id=snk.get("node_id") or None,
     )

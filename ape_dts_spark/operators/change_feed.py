@@ -22,6 +22,7 @@ reverse/undo direction via operators.dedup.reverse_ops.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -126,12 +127,109 @@ FEED_ENVELOPE = (
 )
 
 
+def avro_encode_records(
+    records: DataFrame, field_defs: list[tuple[str, str, str]] | None = None
+) -> DataFrame:
+    """Re-serialize the feed's JSON envelope as the reference's Avro binary
+    envelope (opt-in ``feed_format=avro``): value becomes the bare Avro
+    datum of record AvroData {schema, tb, operation, fields, before, after,
+    extra} — the exact wire schema the reference pins
+    (dt-common/src/meta/avro/avro_converter_schema.rs:5-121; bare datums per
+    message, avro_converter.rs:182) — so a consumer written against the
+    reference's Kafka feed can decode this one.
+
+    ``position`` (LSN) and ``origin`` ride in the ``extra`` map, the same
+    extensibility point the reference uses for DDL metadata
+    (avro_converter.rs:179); a reference consumer ignoring unknown extra
+    keys still decodes the record.  ``field_defs`` optionally fills the
+    AvroFieldDef array (the reference's with_field_defs mode).
+
+    Arrow-batched pandas UDF — the Avro layer is pure re-serialization of
+    the already-built envelope, so the JSON and Avro feeds cannot drift;
+    it runs only on the opt-in format, never in the default hot path.
+    Map keys are emitted sorted (avro_converter.rs:93 ``cols.sort()``).
+    """
+    import json
+
+    from ape_dts_spark.functions.avro_codec import encode_record
+
+    @F.pandas_udf("binary")
+    def _enc(value: pd.Series) -> pd.Series:
+        def one(v: str) -> bytes:
+            d = json.loads(v)
+            before = json.loads(d["before"]) if d.get("before") else None
+            after = json.loads(d["after"]) if d.get("after") else None
+            extra: dict = {"position": int(d["position"])}
+            if d.get("origin") is not None:
+                extra["origin"] = d["origin"]
+            return encode_record(
+                d.get("schema", ""),
+                d.get("tb", ""),
+                d.get("operation", ""),
+                before=dict(sorted(before.items())) if before else before,
+                after=dict(sorted(after.items())) if after else after,
+                extra=extra,
+                fields=field_defs,
+            )
+
+        return value.map(one)
+
+    return records.withColumn("value", _enc(F.col("value")))
+
+
+def avro_decode_records(df: DataFrame) -> DataFrame:
+    """Inverse of avro_encode_records: binary Avro value -> the JSON
+    envelope string, so the transport-independent parse half
+    (parse_feed_frame) is shared verbatim by both formats.  Typed map
+    values survive (long/double/boolean/string); bytes values are base64'd
+    in the JSON bridge — the same spelling to_json gives binary columns on
+    the JSON feed, so downstream parsing is format-agnostic."""
+    import base64
+    import json
+
+    from ape_dts_spark.functions.avro_codec import decode_record
+
+    def _b64(o):
+        if isinstance(o, (bytes, bytearray)):
+            return base64.b64encode(bytes(o)).decode("ascii")
+        raise TypeError(type(o).__name__)
+
+    @F.pandas_udf("string")
+    def _dec(value: pd.Series) -> pd.Series:
+        def one(b) -> str:
+            d = decode_record(bytes(b))
+            extra = d.get("extra") or {}
+            env = {
+                "schema": d["schema"],
+                "tb": d["tb"],
+                "operation": d["operation"],
+                "position": extra.get("position"),
+                "before": (
+                    json.dumps(d["before"], default=_b64)
+                    if d["before"] is not None
+                    else None
+                ),
+                "after": (
+                    json.dumps(d["after"], default=_b64)
+                    if d["after"] is not None
+                    else None
+                ),
+                "origin": extra.get("origin"),
+            }
+            return json.dumps({k: v for k, v in env.items() if v is not None})
+
+        return value.map(one)
+
+    return df.withColumn("value", _dec(F.col("value")))
+
+
 def read_change_feed(
     spark,
     path: str,
     payload_schema: str,
     key_col: str = "url",
     topic: str | None = None,
+    feed_format: str = "json",
 ) -> DataFrame:
     """Inverse of change_feed_records: parse the directory feed back into
     engine-consumable change rows (lsn, op, origin, payload...).
@@ -141,10 +239,13 @@ def read_change_feed(
     payload columns come back NULL except the key, recovered from the record
     key — exactly what the MERGE sink needs.  This is the read half of a
     feed-relay topology (engine A's feed -> engine B's change stream), the
-    reference's kafka-extractor direction (dt-connector/src/extractor/kafka)."""
+    reference's kafka-extractor direction (dt-connector/src/extractor/kafka).
+    `feed_format="avro"` reads a feed written with avro_encode_records."""
     df = spark.read.parquet(path)
     if topic is not None:
         df = df.filter(F.col("topic") == topic)
+    if feed_format == "avro":
+        df = avro_decode_records(df)
     return parse_feed_frame(spark, df, payload_schema, key_col=key_col)
 
 

@@ -117,6 +117,10 @@ class EngineConfig:
     # attach true before-images (in-batch lag + committed-state lookup) to
     # the outbound feed records (reference RowData before/after fidelity)
     feed_before_images: bool = False
+    # outbound feed wire format: "json" (default) | "avro" — avro emits the
+    # reference's pinned AvroData binary envelope (avro_converter_schema.rs:
+    # 5-121) so consumers built against the reference's Kafka feed decode it
+    feed_format: str = "json"
     # compact a bucket when its delta bytes exceed this fraction of the
     # bucket's total bytes; <= 0 disables auto-compaction
     compact_ratio: float = 0.5
@@ -124,6 +128,14 @@ class EngineConfig:
     # the per-batch maintenance stall and amortizes compaction across the
     # tail instead of a whole-table stop-the-world rewrite
     compact_max_buckets: int = 16
+    # per-fold byte budget: one maybe_compact call rewrites at most ~this
+    # many bytes (sum of base+delta of the selected buckets).  Bucket COUNT
+    # alone doesn't bound the stall — the FIRST fold after a seed load hits
+    # max_buckets buckets whose accumulated bytes dwarf steady-state deltas
+    # (measured 50.3s vs 8-16s steady in BENCH/endurance_10M_r3.json).  The
+    # largest-delta bucket is always folded even when it alone exceeds the
+    # budget (otherwise it could starve forever).  0 = unbounded.
+    compact_byte_budget: int = 512 << 20
     # snapshot retention (Iceberg expire_snapshots analog): keep this many
     # manifests per engine table (pages + checkpoints + lineage) and GC
     # superseded data files each batch.  0 disables (unbounded time travel).
@@ -170,7 +182,19 @@ def maybe_compact(spark: SparkSession, pages: LakeTable, cfg: "EngineConfig") ->
     if not cand:
         return False
     cand.sort(key=lambda x: x[1], reverse=True)
-    sel = [b for b, _ in cand[: max(1, cfg.compact_max_buckets)]]
+    # greedy pack under the byte budget (fold cost ~ base+delta rewritten);
+    # later, smaller buckets may still fit after a large one is skipped
+    budget = cfg.compact_byte_budget
+    sel: list[int] = []
+    cost = 0
+    for b, _ in cand:
+        if len(sel) >= max(1, cfg.compact_max_buckets):
+            break
+        fold_cost = per[b]["base"] + per[b]["delta"]
+        if sel and budget > 0 and cost + fold_cost > budget:
+            continue
+        sel.append(b)
+        cost += fold_cost
     pages.compact(spark, buckets=sel)
     return True
 
@@ -413,6 +437,7 @@ class CdcEngine:
             # feed + merge, then released.
             from ape_dts_spark.operators.before_image import attach_before_images
             from ape_dts_spark.operators.change_feed import (
+                avro_encode_records,
                 change_feed_records,
                 write_change_feed,
             )
@@ -432,6 +457,8 @@ class CdcEngine:
                 origin=cfg.node_id or cfg.job_id,
                 before_col=before_col,
             )
+            if cfg.feed_format == "avro":
+                records = avro_encode_records(records)
             write_change_feed(records, cfg.feed_path)
             t_feed = time.monotonic() - tf0
         if not already_applied:

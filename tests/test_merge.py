@@ -183,3 +183,44 @@ def test_reverse_ops_custom_key_col(spark):
     # keys intact (not nulled from before_id), payloads restored
     assert out[1] == ("update", "v1")
     assert out[2] == ("insert", "old9")
+
+
+def test_maybe_compact_byte_budget_spreads_folds(spark, tmp_path):
+    """compact_byte_budget bounds the bytes ONE fold rewrites: with a tiny
+    budget the first maintenance call folds only the largest-delta bucket(s)
+    and later calls converge the rest — the 50s first-fold stall becomes
+    several bounded folds.  Unbounded (0) folds everything at once."""
+    from ape_dts_spark.streaming.driver import EngineConfig, maybe_compact
+
+    def seed(path):
+        t = LakeTable.create(str(path), PAGES, bucket_key="url", bucket_count=4)
+        t.append(spark.createDataFrame(
+            [(f"u{i}", i, 0) for i in range(64)], "url string, v int, last_lsn long"))
+        # pile deltas onto every bucket, well past compact_ratio
+        ch = _changes(spark, [(f"u{i}", i + 1, "update", 10 + i) for i in range(64)])
+        merge_into(spark, t, ch, mode="mor")
+        return t
+
+    def delta_buckets(t):
+        return {f["bucket"] for f in t.manifest.files if f.get("kind") == "delta"}
+
+    t1 = seed(tmp_path / "bounded")
+    assert len(delta_buckets(t1)) == 4
+    cfg = EngineConfig(job_id="c", pages_path="", changes_path="",
+                       compact_ratio=0.25, compact_byte_budget=1)
+    # budget of 1 byte -> exactly one bucket (the largest delta) per call,
+    # and repeated calls converge to no deltas
+    calls = 0
+    while maybe_compact(spark, t1, cfg):
+        calls += 1
+        assert calls <= 8
+    assert delta_buckets(t1) == set()
+    assert calls == 4  # one bucket per bounded fold
+
+    t2 = seed(tmp_path / "unbounded")
+    cfg0 = EngineConfig(job_id="c", pages_path="", changes_path="",
+                        compact_ratio=0.25, compact_byte_budget=0)
+    assert maybe_compact(spark, t2, cfg0)
+    assert delta_buckets(t2) == set()  # single stop-the-world fold
+    # both paths converge to the same table state
+    assert _state(spark, t1) == _state(spark, t2)
