@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -35,6 +36,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iters: int = 20,
+    driver_max_pairs: int = 100_000,
 ) -> DataFrame:
     """(a, b) undirected edges -> (doc_id, cluster_id = min id reachable).
 
@@ -42,14 +44,25 @@ def connected_components(
     are their own cluster trivially and would bloat the output).
     Deterministic: pure min-fixpoint, no randomness.
 
-    Cost per round = exactly ONE Spark job with two shuffles (labels into
-    the edge join, then the groupBy) — self-loop edges make
+    Cost per round = exactly ONE Spark job — self-loop edges make
     min(own, neighbors) a single aggregation with no separate left-join,
     and the convergence probe rides the same job as an Observation on the
     label sum, which is strictly decreasing until the fixpoint (labels only
     ever shrink), so an unchanged sum == converged.  Edges are persisted
     pre-partitioned on the join key so each round reshuffles only the
     (small) label frame, not the edge list.
+
+    Each round ALSO pointer-jumps: label(v) := label(label(v)) after the
+    neighbor-min (the hash-to-min / pointer-doubling move of the MapReduce
+    CC literature, same family as Kiveris et al.'s large-star/small-star).
+    Plain neighbor-min needs diameter rounds — a chain of 60 docs (page
+    series, rolling near-dups) would blow the round cap; the jump spreads
+    the min label along ~2^r-hop paths, so convergence is O(log diameter)
+    while the near-clique LSH shape keeps its 2-3 rounds.  The jump join
+    touches only the label frame (one row per node, two small columns) —
+    per-round cost stays edge-join-bound — and since the jump only ever
+    SHRINKS labels, the strictly-decreasing-sum convergence proof is
+    unchanged.
     """
     from pyspark.sql import Observation
 
@@ -59,6 +72,24 @@ def connected_components(
     # node set for self-loops) — pin the pair list first so an expensive
     # upstream (the LSH candidate pipeline) runs ONCE, not per-branch
     pairs = pairs.persist()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        # short-circuit: with no pairs there is nothing to propagate, and an
+        # all-empty loop would never satisfy the sum-based convergence test
+        # (the Observation over zero rows yields NULL every round)
+        out = pairs.select(
+            F.col(a_col).alias("doc_id"), F.col(a_col).alias("cluster_id")
+        ).limit(0)
+        pairs.unpersist()
+        return out
+    if n_pairs <= driver_max_pairs:
+        # Small-graph strategy (the broadcast-join-threshold idiom): the
+        # iterative loop pays ~1s of job/scheduling overhead PER ROUND,
+        # which dwarfs union-find on a graph this size.  The collect is
+        # BOUNDED by driver_max_pairs (a few MB) — LSH's bucket caps make
+        # huge pair lists rare, but when they happen the distributed loop
+        # below is auto-selected, so the operator stays a scale path.
+        return _driver_union_find(spark, pairs, a_col, b_col)
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     nodes = fwd.select("src").union(rev.select("src")).distinct()
@@ -66,26 +97,27 @@ def connected_components(
     # pairs are distinct with a<b, so the three parts cannot collide — no
     # distinct() needed on the union (saves an edge shuffle)
     edges = fwd.union(rev).union(self_loops).repartition(n_part, "src").persist()
-    if edges.isEmpty():
-        # short-circuit: with no pairs there is nothing to propagate, and an
-        # all-empty loop would never satisfy the sum-based convergence test
-        # (the Observation over zero rows yields NULL every round)
-        edges.unpersist()
-        out = pairs.select(
-            F.col(a_col).alias("doc_id"), F.col(a_col).alias("cluster_id")
-        ).limit(0)
-        pairs.unpersist()
-        return out
     labels = nodes.select(F.col("src").alias("node"), F.col("src").alias("label"))
 
     prev_sum = None
     converged = False
     for _ in range(max_iters):
         obs = Observation()
-        new_labels = (
+        nbr_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: label(v) := label(label(v)).  Every node has a row
+        # (self-loops), and labels are node ids, so the inner join hits
+        # exactly once; the parent's label is already <= the child's label,
+        # so no extra min is needed.
+        parent = nbr_min.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            nbr_min.join(parent, nbr_min.label == parent.p_node)
+            .select(F.col("node"), F.col("p_label").alias("label"))
             # decimal(38,0): the sum of ~10^9 64-bit ids overflows a long
             .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
             .localCheckpoint()  # eager: runs the round's one job + truncates lineage
@@ -111,6 +143,39 @@ def connected_components(
             stacklevel=2,
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _driver_union_find(spark, pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Union-find with path compression over a BOUNDED collected pair list —
+    the small-graph arm of connected_components.  Same fixpoint as the
+    distributed loop: every node labeled with the min id reachable."""
+    parent: dict = {}
+    nodes: set = set()
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in pairs.select(a_col, b_col).collect():
+        a, b = row[0], row[1]
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id, so roots are exactly the distributed labels
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = sorted((n, find(n)) for n in nodes)
+    id_type = pairs.schema[a_col].dataType
+    schema = T.StructType(
+        [T.StructField("doc_id", id_type), T.StructField("cluster_id", id_type)]
+    )
+    pairs.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 def cluster_keep_list(components: DataFrame) -> DataFrame:

@@ -274,9 +274,36 @@ def test_connected_components_chain_and_clique(spark):
     assert lbl[1] == lbl[2] == lbl[3] == 1
     assert lbl[7] == lbl[9] == 7
     assert lbl[4] == lbl[5] == lbl[6] == 4
+    # the driver union-find fast path (auto-selected here) and the
+    # distributed label loop are the same operator: identical output
+    dist = connected_components(pairs, driver_max_pairs=0).collect()
+    assert {(r.doc_id, r.cluster_id) for r in dist} == {
+        (r.doc_id, r.cluster_id) for r in cc
+    }
     keep = {r.cluster_id: (r.n_members, r.keeper)
             for r in cluster_keep_list(connected_components(pairs)).collect()}
     assert keep == {1: (3, 1), 7: (2, 7), 4: (3, 4)}
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """Diameter >> max_iters (a 120-hop chain vs the 20-round cap): plain
+    neighbor-min propagation would need 120 rounds and warn; the per-round
+    pointer jump converges in O(log d) WITHOUT the non-convergence warning
+    and with every node labeled by the chain's minimum."""
+    import warnings
+
+    from ape_dts_spark.operators.dedup_clusters import connected_components
+
+    n = 121  # nodes 0..120 in one chain, diameter 120
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["a", "b"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> test failure
+        # driver_max_pairs=0 forces the DISTRIBUTED loop (the graph is small
+        # enough that the union-find fast path would otherwise absorb it)
+        rows = connected_components(pairs, max_iters=20, driver_max_pairs=0).collect()
+    lbl = {r.doc_id: r.cluster_id for r in rows}
+    assert len(lbl) == n
+    assert set(lbl.values()) == {0}
 
 
 def test_repetition_stats_values(spark):
