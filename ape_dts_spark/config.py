@@ -40,6 +40,7 @@ user's mental model maps 1:1:
     checkpoints_path=/data/checkpoints
     lineage_path=/data/lineage
     max_rps=50000                       ; token-bucket pacing cap (0 = off)
+    log_dir=/data/logs                  ; position.log/monitor.log emitters (off when unset)
 
     [processor]
     transform=my_pkg.hooks:clean_rows   ; Lua-processor analog: vectorized
@@ -111,6 +112,7 @@ def load_task_config(path_or_text: str, is_text: bool = False) -> EngineConfig:
         catalog_root=snk.get("catalog_root") or None,
         expire_keep_last=int(snk.get("expire_keep_last", "0")),
         max_rps=int(ppl.get("max_rps", "0")),
+        log_dir=ppl.get("log_dir") or None,
         feed_path=snk.get("feed_path") or None,
         feed_format=snk.get("feed_format", "json"),
         feed_before_images=str(snk.get("feed_before_images", "false")).lower()

@@ -160,6 +160,12 @@ class EngineConfig:
     # top: after a batch of R events, sleep until R/max_rps seconds have
     # elapsed since the batch started.
     max_rps: int = 0
+    # ops text-log surface (reference position.log/monitor.log,
+    # base_pipeline.rs:365-390 + log4rs appenders): when set, every batch
+    # appends current/checkpoint position lines and per-counter monitor
+    # lines under this directory.  The lake checkpoint/lineage tables stay
+    # the richer queryable source; this is file-tail parity.  None = off.
+    log_dir: str | None = None
     # test hook: callable(stage: str, batch_id: int) that may raise to
     # simulate a crash at a precise point ("post_merge", "post_checkpoint")
     crash_hook: object | None = None
@@ -301,6 +307,12 @@ class CdcEngine:
         }
         self._ddls = getattr(self, "_ddls", None) or self._load_ddls()
         self.batch_log: list[dict] = []  # per-batch stage timings (profiling)
+        if cfg.log_dir:
+            from ape_dts_spark.streaming.monitor_log import MonitorLogEmitter
+
+            self.oplog = MonitorLogEmitter(cfg.log_dir)
+        else:
+            self.oplog = None
 
     # ------------------------------------------------------------- positions
 
@@ -522,6 +534,26 @@ class CdcEngine:
             self.metrics["ddl_records"] += 1
 
         self._write_checkpoint(batch_id, hi)
+        if self.oplog is not None:
+            # file-tail ops surface (position.log / monitor.log parity):
+            # after the checkpoint commit, received == committed == hi
+            pos = {"type": "LakeCdc", "job_id": cfg.job_id, "lsn": hi,
+                   "batch_id": batch_id}
+            self.oplog.log_position("current_position", pos)
+            self.oplog.log_position("checkpoint_position", pos)
+            wall = time.monotonic() - t0
+            self.oplog.log_counter(
+                "pipeline", cfg.job_id, "record_count",
+                {"sum": input_records if not already_applied else 0},
+            )
+            self.oplog.log_counter(
+                "pipeline", cfg.job_id, "data_bytes",
+                {"sum": input_bytes if not already_applied else 0},
+            )
+            self.oplog.log_counter(
+                "pipeline", cfg.job_id, "rt_per_query",
+                {"avg_by_count": int(wall * 1000)},
+            )
         self.metrics["batches"] += 1
         self.batch_log.append(
             {
