@@ -179,16 +179,16 @@ def main(argv: list[str] | None = None) -> int:
         # check-log re-extraction (mysql_check_extractor.rs:50-60): pull the
         # flagged keys' CURRENT source rows and re-drive the normal MERGE
         fixes = source.join(F.broadcast(keys), on=cfg.key_col, how="left_semi")
-        # Revise rows must beat everything already applied AND not collide
-        # with the next real tail event: max(table last_lsn) + 1 can equal a
-        # later event's lsn, and an lsn tie is then resolved by the merge's
-        # _src tiebreak instead of true order (a revised value could shadow a
-        # newer legitimate change).  Take the max over the table AND the
-        # change stream, plus a gap ([extractor] revise_lsn_gap, default 1e6)
-        # — real CDC positions (binlog offsets / WAL LSNs) advance far faster
-        # than +1 per event, so the gap puts revise rows safely between "all
-        # history" and "anything the tail will mint".
-        gap = int(ext.get("revise_lsn_gap", "1000000"))
+        # Revise rows must beat everything already applied WITHOUT shadowing
+        # anything the tail mints later.  Stamp them at EXACTLY
+        # max(table last_lsn, stream lsn): the lake's LWW tiebreak is the
+        # data sequence number (commit version, lake/table.py _read_kind),
+        # so on an equal lsn the revise delta — the later commit — wins
+        # deterministically over the already-applied row it corrects, while
+        # every future tail event carries a strictly larger lsn and wins
+        # over the revise row.  (A "+gap" scheme would instead shadow up to
+        # gap legitimate events on dense-lsn streams; "+1" would tie with
+        # the next real event.)
         tbl_max = (
             table.read(spark).agg(F.max("last_lsn").alias("m")).collect()[0]["m"] or 0
         )
@@ -203,7 +203,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
             except Exception:
                 stream_max = 0  # revise without a tail stream is legal
-        next_lsn = max(tbl_max, stream_max) + gap
+        next_lsn = max(tbl_max, stream_max)
         changes = fixes.withColumn("op", F.lit("update")).withColumn(
             "lsn", F.lit(next_lsn).cast("long")
         )

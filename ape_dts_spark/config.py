@@ -60,6 +60,15 @@ from ape_dts_spark.operators.filters import ChangeFilter, Router
 from ape_dts_spark.streaming.driver import EngineConfig
 
 
+def _feed_format(v: str) -> str:
+    """Case-normalize and VALIDATE: a typo'd feed_format silently falling
+    back to JSON would hand an Avro consumer an undecodable feed."""
+    fmt = str(v).strip().lower()
+    if fmt not in ("json", "avro"):
+        raise ValueError(f"feed_format must be 'json' or 'avro', got {v!r}")
+    return fmt
+
+
 def _split(v: str | None) -> list[str]:
     return [x.strip() for x in v.split(",") if x.strip()] if v else []
 
@@ -114,7 +123,7 @@ def load_task_config(path_or_text: str, is_text: bool = False) -> EngineConfig:
         max_rps=int(ppl.get("max_rps", "0")),
         log_dir=ppl.get("log_dir") or None,
         feed_path=snk.get("feed_path") or None,
-        feed_format=snk.get("feed_format", "json"),
+        feed_format=_feed_format(snk.get("feed_format", "json")),
         feed_before_images=str(snk.get("feed_before_images", "false")).lower()
         in ("1", "true", "yes"),
         node_id=snk.get("node_id") or None,

@@ -36,12 +36,14 @@ _BR_NULL, _BR_STR, _BR_LONG, _BR_DOUBLE, _BR_BYTES, _BR_BOOL = range(6)
 
 
 # ---------------------------------------------------------------- primitives
-def _zigzag(n: int) -> int:
-    return (n << 1) ^ (n >> 63) if n >= 0 else (n << 1) ^ (n >> 63)
-
-
 def encode_long(n: int, out: bytearray) -> None:
-    """Avro long: zig-zag then base-128 varint, little-endian groups."""
+    """Avro long: zig-zag then base-128 varint, little-endian groups.
+
+    Python ints are unbounded; a value outside int64 would otherwise be
+    silently masked into a DIFFERENT number on the wire — raise at the
+    producer instead."""
+    if not -(1 << 63) <= n < (1 << 63):
+        raise ValueError(f"avro long out of int64 range: {n}")
     u = (n << 1) ^ (n >> 63)
     u &= (1 << 64) - 1
     while True:
@@ -110,6 +112,18 @@ def _encode_union_value(v: Any, out: bytearray) -> None:
     elif isinstance(v, (bytes, bytearray)):
         encode_long(_BR_BYTES, out)
         encode_bytes(bytes(v), out)
+    elif isinstance(v, (list, dict)):
+        # nested array/struct payload values (e.g. a transform-added tags
+        # column) are NOT expressible in the reference's pinned scalar map
+        # union (avro_converter_schema.rs:5-121).  str() would emit Python
+        # repr that silently nulls on re-parse, and JSON-text smuggling
+        # changes the column's type on round-trip — fail loudly at the
+        # producer instead; nested columns need feed_format=json.
+        raise ValueError(
+            "feed_format=avro cannot carry nested (array/struct) payload "
+            f"values — got {type(v).__name__}; use feed_format=json for "
+            "tables with nested columns"
+        )
     else:  # datetime/decimal/...: string is the reference's own fallback
         encode_long(_BR_STR, out)
         encode_string(str(v), out)
@@ -152,6 +166,11 @@ def _decode_optional_map(buf: bytes, pos: int) -> tuple[dict[str, Any] | None, i
     br, pos = decode_long(buf, pos)
     if br == 0:
         return None, pos
+    if br != 1:
+        # corrupt/misaligned frame: parsing it as a map would consume
+        # arbitrary bytes and yield a plausible-looking garbage record —
+        # fail loudly like _decode_union_value does
+        raise ValueError(f"bad optional-map union branch {br} at {pos}")
     m: dict[str, Any] = {}
     while True:
         count, pos = decode_long(buf, pos)
@@ -207,6 +226,8 @@ def decode_record(buf: bytes) -> dict[str, Any]:
     tb, pos = decode_string(buf, pos)
     operation, pos = decode_string(buf, pos)
     br, pos = decode_long(buf, pos)
+    if br not in (0, 1):
+        raise ValueError(f"bad fields union branch {br} at {pos}")
     fields: list[tuple[str, str, str]] | None = None
     if br == 1:
         fields = []

@@ -330,6 +330,19 @@ class LakeTable:
                     sel.append(c.alias(f["name"]))
             if kind == "delta":
                 sel.append(F.col(OP_MARKER_COL))
+            # data sequence number (Iceberg sequence-number analog): every
+            # data file name starts "v{commit_version}-" (_stage_write /
+            # _stage_write_kinds), so the commit that added a row is a pure
+            # column expression on the file name — no manifest join.  LWW
+            # ties on the order column resolve to the LATER COMMIT, which is
+            # both deterministic and correct: within a bucket a compacted
+            # base always has a lower version than any surviving delta, and
+            # among deltas the later-applied write wins.
+            sel.append(
+                F.regexp_extract(F.col("_metadata.file_name"), r"^v(\d+)-", 1)
+                .cast("long")
+                .alias("_seq")
+            )
             parts.append(raw.select(*sel))
         df = parts[0]
         for p in parts[1:]:
@@ -349,7 +362,10 @@ class LakeTable:
         is **bucket-aligned** (same shape as compact()): the LWW window
         partitions by the table's bucket transform — a function of the key,
         so every key's rows share a bucket — and sorts (key asc, order desc,
-        delta-over-base) within it.  One Exchange on the bucket column
+        then data sequence number desc: on an equal order value the LATER
+        COMMIT wins, which subsumes delta-over-base and makes equal-lsn
+        delta-vs-delta ties deterministic — Iceberg's sequence-number rule)
+        within it.  One Exchange on the bucket column
         (bounded lanes, reusable by downstream bucket-aligned merges/writes)
         instead of a whole-table hash shuffle keyed on the raw key, which at
         10^10 rows was the single biggest scale cost of resolved reads.
@@ -366,17 +382,19 @@ class LakeTable:
             out = spark.createDataFrame([], cur.to_struct())
             return out.withColumn(OP_MARKER_COL, F.lit("upsert")) if keep_op_marker else out
         if delta is None:
+            base = base.drop("_seq")
             return base.withColumn(OP_MARKER_COL, F.lit("upsert")) if keep_op_marker else base
         order_col = self.manifest.properties.get("merge_order_col", "last_lsn")
         key = self.manifest.bucket_key
         if base is None:
-            base = spark.createDataFrame([], cur.to_struct())
-        b = base.withColumn(OP_MARKER_COL, F.lit("upsert")).withColumn("_src", F.lit(0))
-        d = delta.withColumn("_src", F.lit(1))
-        u = b.unionByName(d).withColumn(BUCKET_COL, self.bucket_expr())
+            base = spark.createDataFrame([], cur.to_struct()).withColumn(
+                "_seq", F.lit(0).cast("long")
+            )
+        b = base.withColumn(OP_MARKER_COL, F.lit("upsert"))
+        u = b.unionByName(delta).withColumn(BUCKET_COL, self.bucket_expr())
         resolved = lww_dedup_bucket_aligned(
-            u, [key], order_col=order_col, bucket_col=BUCKET_COL, tiebreak_cols=["_src"]
-        ).drop("_src", BUCKET_COL)
+            u, [key], order_col=order_col, bucket_col=BUCKET_COL, tiebreak_cols=["_seq"]
+        ).drop("_seq", BUCKET_COL)
         if keep_op_marker:
             return resolved
         return resolved.filter(F.col(OP_MARKER_COL) != "delete").drop(OP_MARKER_COL)
@@ -698,13 +716,14 @@ class LakeTable:
         base = self._read_kind(spark, "base", buckets)
         delta = self._read_kind(spark, "delta", buckets)
         if base is None:
-            base = spark.createDataFrame([], cur.to_struct())
-        b = base.withColumn(OP_MARKER_COL, F.lit("upsert")).withColumn("_src", F.lit(0))
-        d = (delta if delta is not None else None)
-        u = b if d is None else b.unionByName(d.withColumn("_src", F.lit(1)))
+            base = spark.createDataFrame([], cur.to_struct()).withColumn(
+                "_seq", F.lit(0).cast("long")
+            )
+        b = base.withColumn(OP_MARKER_COL, F.lit("upsert"))
+        u = b if delta is None else b.unionByName(delta)
         u = u.withColumn(BUCKET_COL, self.bucket_expr())
         resolved = lww_dedup_bucket_aligned(
-            u, [key], order_col=order_col, bucket_col=BUCKET_COL, tiebreak_cols=["_src"]
+            u, [key], order_col=order_col, bucket_col=BUCKET_COL, tiebreak_cols=["_seq"]
         )
         cols = [
             F.col(f["name"]).cast(spark_type(f["type"])).alias(f["name"])

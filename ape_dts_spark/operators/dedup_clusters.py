@@ -9,12 +9,14 @@ GraphFrames/"large-star small-star" (Kiveris et al., CC in MapReduce) use:
     label(v) := v
     repeat: label(v) := min(label(v), min over neighbors u of label(u))
 
-Each round is ONE shuffle (edges join labels on src, groupBy dst).  Rounds
-needed = graph diameter; dup clusters are near-cliques coming out of LSH
-band buckets (every member shares a bucket with most others), so diameter
-is tiny (2-3) even when cluster membership is huge.  A `max_iters` cap plus
+Each round is one edge shuffle (edges join labels on src, groupBy dst)
+followed by full path compression of the label forest (pointer doubling on
+the small label frame only).  With compression, hooking merges every live
+root with its minimum neighboring root, so rounds needed = O(log n) for any
+graph/id layout; dup clusters are near-cliques coming out of LSH band
+buckets, so in practice 2-3 rounds.  A `max_iters` cap plus
 `localCheckpoint` every round keeps lineage bounded; the per-round driver
-check is a single count (bounded metadata, not data).
+check is a single Observation read (bounded metadata, not data).
 
 At 10^10 docs the edge list is bounded by the LSH bucket cap (max_bucket^2
 per bucket), labels are (node, long) pairs — both shuffle-light compared to
@@ -44,33 +46,33 @@ def connected_components(
     are their own cluster trivially and would bloat the output).
     Deterministic: pure min-fixpoint, no randomness.
 
-    Cost per round = exactly ONE Spark job — self-loop edges make
-    min(own, neighbors) a single aggregation with no separate left-join,
-    and the convergence probe rides the same job as an Observation on the
-    label sum, which is strictly decreasing until the fixpoint (labels only
-    ever shrink), so an unchanged sum == converged.  Edges are persisted
-    pre-partitioned on the join key so each round reshuffles only the
-    (small) label frame, not the edge list.
+    Graph contraction with root-level hooking + full path compression (the
+    Shiloach-Vishkin shape).  Each round: (1) hook — every live root r takes
+    parent(r) = min(r, roots adjacent to r in the CONTRACTED graph); hooking
+    roots rather than relabeling individual nodes is what merges a whole
+    class in one move (per-node relabeling degrades to one-hop propagation
+    on scrambled-id chains); (2) fully pointer-double the parent forest
+    until idempotent (root frame only — never the edges; each jump halves
+    forest depth); (3) fold the mapping into the global node labels and
+    rewrite the edge list into the new label space, dropping self-edges and
+    duplicates.  Termination is EXACT: the contracted edge list is empty iff
+    no edge joins two distinct roots — no fixpoint heuristics.
 
-    Each round ALSO pointer-jumps: label(v) := label(label(v)) after the
-    neighbor-min (the hash-to-min / pointer-doubling move of the MapReduce
-    CC literature, same family as Kiveris et al.'s large-star/small-star).
-    Plain neighbor-min needs diameter rounds — a chain of 60 docs (page
-    series, rolling near-dups) would blow the round cap; the jump spreads
-    the min label along ~2^r-hop paths, so convergence is O(log diameter)
-    while the near-clique LSH shape keeps its 2-3 rounds.  The jump join
-    touches only the label frame (one row per node, two small columns) —
-    per-round cost stays edge-join-bound — and since the jump only ever
-    SHRINKS labels, the strictly-decreasing-sum convergence proof is
-    unchanged.
+    Round bound: adjacent surviving roots cannot both be local minima, so a
+    chain of live roots at least halves per round — max_iters=20 covers
+    chain components of ~2^20 nodes for ANY id layout, and the near-clique
+    LSH shape finishes in 2-3 rounds.  The edge list SHRINKS every round
+    (contraction), so round cost falls as the loop proceeds; the inner
+    compression loop's convergence certificate is an Observation on the
+    label sum, which strictly shrinks until idempotent.
     """
     from pyspark.sql import Observation
 
     spark = pairs.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # the edge union reads `pairs` several times (forward, reversed, and the
-    # node set for self-loops) — pin the pair list first so an expensive
-    # upstream (the LSH candidate pipeline) runs ONCE, not per-branch
+    # the loop reads `pairs` several times (node set, initial edge list) —
+    # pin the pair list first so an expensive upstream (the LSH candidate
+    # pipeline) runs ONCE, not per-branch
     pairs = pairs.persist()
     n_pairs = pairs.count()
     if n_pairs == 0:
@@ -90,59 +92,115 @@ def connected_components(
         # huge pair lists rare, but when they happen the distributed loop
         # below is auto-selected, so the operator stays a scale path.
         return _driver_union_find(spark, pairs, a_col, b_col)
-    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    nodes = fwd.select("src").union(rev.select("src")).distinct()
-    self_loops = nodes.select("src", F.col("src").alias("dst"))
-    # pairs are distinct with a<b, so the three parts cannot collide — no
-    # distinct() needed on the union (saves an edge shuffle)
-    edges = fwd.union(rev).union(self_loops).repartition(n_part, "src").persist()
-    labels = nodes.select(F.col("src").alias("node"), F.col("src").alias("label"))
+    nodes = (
+        pairs.select(F.col(a_col).alias("n"))
+        .union(pairs.select(F.col(b_col).alias("n")))
+        .distinct()
+    )
+    # global labels: node -> current root id (starts as identity)
+    labels = nodes.select(F.col("n").alias("node"), F.col("n").alias("label")).persist()
+    # contracted edge list IN LABEL SPACE (pairs are distinct with a<b, so
+    # this starts canonical); shrinks every round as clusters merge
+    edges = (
+        pairs.select(F.col(a_col).alias("p"), F.col(b_col).alias("q"))
+        .repartition(n_part, "p")
+        .localCheckpoint()
+    )
 
-    prev_sum = None
+    def _sum_col(c):
+        # decimal(38,0): the sum of ~10^9 64-bit ids overflows a long
+        return F.sum(F.col(c).cast("decimal(38,0)")).alias("s")
+
     converged = False
     for _ in range(max_iters):
-        obs = Observation()
-        nbr_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("label"))
-        )
-        # pointer jump: label(v) := label(label(v)).  Every node has a row
-        # (self-loops), and labels are node ids, so the inner join hits
-        # exactly once; the parent's label is already <= the child's label,
-        # so no extra min is needed.
-        parent = nbr_min.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
-        )
-        new_labels = (
-            nbr_min.join(parent, nbr_min.label == parent.p_node)
-            .select(F.col("node"), F.col("p_label").alias("label"))
-            # decimal(38,0): the sum of ~10^9 64-bit ids overflows a long
-            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
-            .localCheckpoint()  # eager: runs the round's one job + truncates lineage
-        )
-        labels = new_labels
-        cur_sum = obs.get["s"]
-        if prev_sum is not None and cur_sum == prev_sum:
+        if edges.isEmpty():
+            # no edge joins two distinct roots -> labels are final.  Exact
+            # termination, no fixpoint heuristics.
             converged = True
             break
-        prev_sum = cur_sum
-    edges.unpersist()
+        # hook AT ROOT LEVEL: for every live root r, parent(r) = min(r,
+        # min root adjacent to r in the contracted graph).  Hooking roots
+        # (not individual nodes) is what merges a whole class in one move —
+        # per-node relabeling would degrade to one-hop propagation again.
+        sym = edges.union(edges.select(F.col("q").alias("p"), F.col("p").alias("q")))
+        m = (
+            sym.groupBy(F.col("p").alias("rnode"))
+            .agg(F.min("q").alias("rlabel"))
+            .select("rnode", F.least("rnode", "rlabel").alias("rlabel"))
+            .localCheckpoint()
+        )
+        # full path compression of the parent forest (root frame only — the
+        # edges never enter this loop).  A local-min root appears only as a
+        # target, not a key, so resolve misses to identity via left join.
+        # Each jump halves the forest depth -> O(log depth) iterations; sums
+        # only shrink, equal sums == idempotent.  64 is a safety valve far
+        # above log2 of any feasible root count.
+        cur_sum = None
+        for _ in range(64):
+            jobs = Observation()
+            parent = m.select(
+                F.col("rnode").alias("p_node"), F.col("rlabel").alias("p_label")
+            )
+            m2 = (
+                m.join(parent, m.rlabel == parent.p_node, "left")
+                .select(
+                    "rnode", F.coalesce("p_label", "rlabel").alias("rlabel")
+                )
+                .observe(jobs, _sum_col("rlabel"))
+                .localCheckpoint()
+            )
+            nxt_sum = jobs.get["s"]
+            if cur_sum is not None and nxt_sum == cur_sum:
+                break  # idempotent — fully compressed (jumps only shrink)
+            m, cur_sum = m2, nxt_sum
+        # fold the round's root mapping into the global labels
+        new_labels = (
+            labels.join(m, labels.label == m.rnode, "left")
+            .select("node", F.coalesce("rlabel", "label").alias("label"))
+            .persist()
+        )
+        new_labels.count()  # materialize before dropping the old generation
+        labels.unpersist()
+        labels = new_labels
+        # contract: rewrite edges into the new label space, drop self-edges,
+        # canonicalize (lo, hi), dedup.  The surviving edge count at least
+        # halves on chain graphs (adjacent roots cannot both be local
+        # minima), so max_iters=20 covers chains of ~2^20 nodes; near-clique
+        # LSH graphs finish in 2-3 rounds.
+        mp = m.select(F.col("rnode").alias("k1"), F.col("rlabel").alias("v1"))
+        mq = m.select(F.col("rnode").alias("k2"), F.col("rlabel").alias("v2"))
+        edges = (
+            edges.join(mp, edges.p == mp.k1, "left")
+            .join(mq, edges.q == mq.k2, "left")
+            .select(
+                F.coalesce("v1", "p").alias("np"), F.coalesce("v2", "q").alias("nq")
+            )
+            .where(F.col("np") != F.col("nq"))
+            .select(
+                F.least("np", "nq").alias("p"), F.greatest("np", "nq").alias("q")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
     pairs.unpersist()
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).localCheckpoint()
+    labels.unpersist()
     if not converged:
-        # the fixpoint may NOT be reached: a graph with diameter > max_iters
-        # (long chains, not the near-clique LSH shape) would silently return
-        # split clusters — surface it instead of diverging from the oracle
+        # contraction did not drain the edge list within max_iters — chain
+        # components beyond ~2^max_iters nodes (or an adversarial id layout
+        # on a pathological graph).  Clusters may be split; surface it
+        # instead of silently diverging from the oracle.
         import warnings
 
         warnings.warn(
-            f"connected_components: label propagation not provably converged "
-            f"after max_iters={max_iters} rounds — clusters may be split; "
-            f"raise max_iters for long-chain graphs",
+            f"connected_components: contraction not converged after "
+            f"max_iters={max_iters} rounds — clusters may be split; "
+            f"raise max_iters for extreme chain graphs",
             stacklevel=2,
         )
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return out
 
 
 def _driver_union_find(spark, pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:

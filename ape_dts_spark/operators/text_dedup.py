@@ -40,21 +40,30 @@ def _spread(df: DataFrame) -> DataFrame:
     the session's parallelism: at real scale inputs already carry more
     partitions than that and this is a zero-cost no-op with no shuffle.
 
-    The partition-count probe (`df.rdd.getNumPartitions()`) forces physical
-    planning of the upstream plan, so it is gated: a plan that already
-    contains a shuffle-producing operator (join/aggregate/window/
-    repartition/dedup) emits shuffle.partitions partitions by construction —
-    skip both the probe and the repartition there, keeping _spread free on
-    arbitrary derived inputs (it only ever probes scan-shaped plans, where
-    planning is trivially cheap)."""
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if any(
-        tok in plan
-        for tok in ("Join", "Aggregate", "Window", "Repartition", "Deduplicate")
-    ):
-        return df
-    if df.rdd.getNumPartitions() < target:
+    The small-input decision uses the optimizer's SIZE ESTIMATE, not a
+    partition-count probe or plan-shape tokens: `df.rdd.getNumPartitions()`
+    forces physical planning and reports PRE-AQE counts (AQE's
+    coalescePartitions can collapse a small shuffle output to 1 partition
+    at runtime regardless of what the probe said), and plan-string token
+    matching false-fires on relation/column names.  `optimizedPlan().stats`
+    is a pure driver-side metadata read on any plan shape: accurate for
+    file scans (footer sizes), conservative (huge) when unknown — so an
+    unknown-size input is simply left alone, never force-shuffled.  A
+    "small" input (estimate under target x maxPartitionBytes) is cheap to
+    repartition BY DEFINITION, and the explicit repartition(n) is exempt
+    from AQE coalescing, so the explode provably runs wide."""
+    sess = df.sparkSession
+    target = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:
+        return df  # stats unavailable -> leave the plan untouched
+    raw = sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    digits = "".join(ch for ch in str(raw) if ch.isdigit())
+    max_pb = int(digits) if digits else 134217728  # "128m"-style -> best effort
+    if size < target * max_pb:
         return df.repartition(target)
     return df
 

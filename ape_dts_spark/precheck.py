@@ -106,29 +106,20 @@ def precheck(spark: SparkSession, cfg: EngineConfig, deep: bool = False) -> dict
                 "at the first lifecycle barrier"
             )
         if lifecycle:
-            # lifecycle DDL resolves table names against catalog_root; if an
-            # event names the BOUND table but the bound table lives elsewhere,
-            # the drop/rename would act on a same-named catalog table instead
-            # (or die mid-batch on the re-point) — fail here, before any data
-            # moves.  Events about other tables are fine wherever pages lives.
-            import os
+            # fail before any data moves, with the SAME invariant the engine
+            # enforces mid-run (one spelling, shared helper — a drifted copy
+            # here would let precheck pass what the driver later rejects)
+            from ape_dts_spark.streaming.driver import misbound_lifecycle_error
 
-            bound = os.path.basename(cfg.pages_path.rstrip("/"))
-            pages_dir = os.path.dirname(os.path.abspath(cfg.pages_path.rstrip("/")))
-            in_catalog = pages_dir == os.path.abspath(cfg.catalog_root.rstrip("/"))
-            if not in_catalog:
-                for r in rows:
-                    if r["ddl_type"] not in ("drop_table", "rename_table"):
-                        continue
-                    p = json.loads(r["payload"])
-                    if p.get("table") == bound or p.get("from") == bound:
-                        raise PrecheckError(
-                            f"ddl stream {r['ddl_type']}s the bound table "
-                            f"{bound!r} but pages_path {cfg.pages_path!r} is not "
-                            f"directly under catalog_root {cfg.catalog_root!r} — "
-                            "the DDL would resolve against the catalog and act "
-                            "on the wrong table"
-                        )
+            for r in rows:
+                err = misbound_lifecycle_error(
+                    r["ddl_type"],
+                    json.loads(r["payload"]),
+                    cfg.pages_path,
+                    cfg.catalog_root,
+                )
+                if err:
+                    raise PrecheckError(err)
         report["n_ddl"] = len(rows)
         report["ddl_kinds"] = sorted(kinds)
 

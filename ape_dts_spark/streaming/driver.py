@@ -171,6 +171,43 @@ class EngineConfig:
     crash_hook: object | None = None
 
 
+def misbound_lifecycle_error(
+    ddl_type: str, payload: dict, pages_path: str, catalog_root: str
+) -> str | None:
+    """The ONE spelling of the bound-table-outside-catalog invariant, shared
+    by precheck() (fail before data moves) and _apply_lifecycle_ddl (catch
+    engines constructed without a precheck).  Lifecycle names resolve
+    against catalog_root; if an event names the BOUND table (as target,
+    rename source, or rename DESTINATION) while the bound table lives
+    elsewhere, the operation would act on — or collide with — a same-named
+    catalog table instead of the one this engine replicates.  Returns the
+    error text, or None when the event is safe."""
+    import os as _os
+
+    if ddl_type not in ("drop_table", "rename_table"):
+        return None
+    pages_dir = _os.path.dirname(_os.path.abspath(pages_path.rstrip("/")))
+    if pages_dir == _os.path.abspath(catalog_root.rstrip("/")):
+        return None
+    bound = _os.path.basename(pages_path.rstrip("/"))
+    if payload.get("table") == bound or payload.get("from") == bound:
+        return (
+            f"lifecycle ddl {ddl_type!r} names the bound table {bound!r} but "
+            f"pages_path {pages_path!r} is not directly under catalog_root "
+            f"{catalog_root!r} — the DDL would resolve against the catalog "
+            "and act on the wrong table"
+        )
+    if ddl_type == "rename_table" and payload.get("to") == bound:
+        return (
+            f"lifecycle ddl rename_table renames {payload.get('from')!r} TO the "
+            f"bound table's name {bound!r} while pages_path {pages_path!r} is "
+            f"not directly under catalog_root {catalog_root!r} — a same-named "
+            "catalog table would shadow the bound table for later lifecycle "
+            "events"
+        )
+    return None
+
+
 def maybe_compact(spark: SparkSession, pages: LakeTable, cfg: "EngineConfig") -> bool:
     """Incremental MOR maintenance: compact the hottest buckets (per-bucket
     delta fraction above cfg.compact_ratio), at most cfg.compact_max_buckets
@@ -650,26 +687,11 @@ class CdcEngine:
         root = self._require_catalog_root(t)
         cat = Catalog(root)
         bound = self._bound_table_name()
-        # lifecycle names resolve against catalog_root; an event naming the
-        # BOUND table while the bound table lives elsewhere would drop/rename
-        # a same-named catalog table in its place (and the bound-table
-        # branches would re-point at a path that was never ours).  precheck()
-        # enforces this up front; this guard catches engines constructed
-        # without a precheck.  Events about other tables are fine wherever
-        # pages lives.
-        pages_dir = os.path.dirname(os.path.abspath(self.cfg.pages_path.rstrip("/")))
-        in_catalog = pages_dir == os.path.abspath(root.rstrip("/"))
-        if (
-            not in_catalog
-            and t in ("drop_table", "rename_table")
-            and (p.get("table") == bound or p.get("from") == bound)
-        ):
-            raise ValueError(
-                f"lifecycle ddl {t!r} names the bound table {bound!r} but "
-                f"pages_path {self.cfg.pages_path!r} is not directly under "
-                f"catalog_root {root!r} — run precheck(); the DDL would act on "
-                "the wrong table"
-            )
+        # precheck() enforces the bound-table-vs-catalog invariant up front;
+        # this shared-helper call catches engines constructed without one.
+        err = misbound_lifecycle_error(t, p, self.cfg.pages_path, root)
+        if err:
+            raise ValueError(err + " — run precheck()")
         if t == "create_table":
             cols = [tuple(c) for c in p["cols"]]
             cat.create_table(

@@ -298,3 +298,35 @@ job_id=avro_ini
     # generator rows carry origin=node1; the feed preserves relayed
     # provenance rather than restamping (loop-prevention contract)
     assert _jmap_to_py(jrec.get("extra"))["origin"] == "node1"
+
+
+def test_codec_guards_fail_loudly():
+    """Producer-side guards: out-of-int64 longs and nested payload values
+    raise instead of silently corrupting the wire; corrupt union branches
+    raise instead of parsing garbage."""
+    import pytest
+
+    from ape_dts_spark.functions.avro_codec import (
+        decode_record,
+        encode_long,
+        encode_record,
+    )
+
+    with pytest.raises(ValueError, match="int64 range"):
+        encode_long(1 << 63, bytearray())
+    with pytest.raises(ValueError, match="nested"):
+        encode_record("db", "tb", "insert", after={"tags": ["a", "b"]})
+    with pytest.raises(ValueError, match="nested"):
+        encode_record("db", "tb", "insert", after={"meta": {"k": 1}})
+    # corrupt frame: a fields-union branch byte outside {0,1}
+    good = encode_record("db", "tb", "insert", after={"x": 1})
+    # schema/tb/operation are 3 length-prefixed strings; the next byte is
+    # the fields union branch — corrupt it to 2 (zig-zag encoded = 4)
+    pos = 0
+    for _ in range(3):
+        ln = good[pos] >> 1  # short strings: 1-byte zig-zag length
+        pos += 1 + ln
+    bad = bytearray(good)
+    bad[pos] = 4
+    with pytest.raises(ValueError, match="branch"):
+        decode_record(bytes(bad))

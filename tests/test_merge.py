@@ -224,3 +224,24 @@ def test_maybe_compact_byte_budget_spreads_folds(spark, tmp_path):
     assert delta_buckets(t2) == set()  # single stop-the-world fold
     # both paths converge to the same table state
     assert _state(spark, t1) == _state(spark, t2)
+
+
+def test_equal_lsn_later_commit_wins_deterministically(spark, tmp_path):
+    """Data-sequence-number LWW (Iceberg sequence-number analog): two delta
+    commits carrying the SAME lsn for the same key must resolve to the
+    later COMMIT, not an arbitrary file order — this is what lets a revise
+    task stamp fixes at exactly max(lsn) and still deterministically beat
+    the already-applied row it corrects (see __main__ revise)."""
+    t = _table(spark, tmp_path, [("a", 1, 0)])
+    merge_into(spark, t, _changes(spark, [("a", 10, "update", 7)]))
+    # same lsn, later commit — e.g. a revise re-extraction of key "a"
+    merge_into(spark, t.refresh(), _changes(spark, [("a", 99, "update", 7)]))
+    assert _state(spark, t.refresh()) == {"a": (99, 7)}
+    # and a STRICTLY newer event still beats the equal-lsn fix
+    merge_into(spark, t.refresh(), _changes(spark, [("a", 123, "update", 8)]))
+    assert _state(spark, t.refresh()) == {"a": (123, 8)}
+    # the rule survives compaction: fold everything, then an equal-lsn
+    # delta on top of the folded base must still win (base seq < delta seq)
+    t.refresh().compact(spark)
+    merge_into(spark, t.refresh(), _changes(spark, [("a", 7, "update", 8)]))
+    assert _state(spark, t.refresh()) == {"a": (7, 8)}

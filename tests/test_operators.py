@@ -287,9 +287,10 @@ def test_connected_components_chain_and_clique(spark):
 
 def test_connected_components_long_chain_converges_fast(spark):
     """Diameter >> max_iters (a 120-hop chain vs the 20-round cap): plain
-    neighbor-min propagation would need 120 rounds and warn; the per-round
-    pointer jump converges in O(log d) WITHOUT the non-convergence warning
-    and with every node labeled by the chain's minimum."""
+    neighbor-min propagation would need 120 rounds and warn; hook + full
+    path compression converges in O(log n) rounds WITHOUT the
+    non-convergence warning and with every node labeled by the chain's
+    minimum."""
     import warnings
 
     from ape_dts_spark.operators.dedup_clusters import connected_components
@@ -300,6 +301,33 @@ def test_connected_components_long_chain_converges_fast(spark):
         warnings.simplefilter("error")  # any warning -> test failure
         # driver_max_pairs=0 forces the DISTRIBUTED loop (the graph is small
         # enough that the union-find fast path would otherwise absorb it)
+        rows = connected_components(pairs, max_iters=20, driver_max_pairs=0).collect()
+    lbl = {r.doc_id: r.cluster_id for r in rows}
+    assert len(lbl) == n
+    assert set(lbl.values()) == {0}
+
+
+def test_connected_components_scrambled_chain_converges_fast(spark):
+    """The adversarial layout for single-jump propagation: a 120-hop chain
+    whose doc ids are a fixed pseudo-random permutation of chain order, so
+    the min id sits mid-chain and labels cannot ride monotone id runs.  A
+    single pointer jump per round needs ~n rounds here; full per-round path
+    compression must converge within the same 20-round cap, warning-free,
+    with one cluster labeled by the global min id."""
+    import warnings
+
+    from ape_dts_spark.operators.dedup_clusters import connected_components
+
+    n = 121
+    # deterministic scramble: multiply by a unit mod a prime > n, then
+    # rank-compress to 0..n-1 so ids are a permutation of chain positions
+    keys = sorted(range(n), key=lambda i: (i * 73) % 127)
+    ids = {pos: rank for rank, pos in enumerate(keys)}
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], ["a", "b"]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         rows = connected_components(pairs, max_iters=20, driver_max_pairs=0).collect()
     lbl = {r.doc_id: r.cluster_id for r in rows}
     assert len(lbl) == n
