@@ -55,9 +55,10 @@ def _spread(df: DataFrame) -> DataFrame:
     sess = df.sparkSession
     target = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
     try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
+        raw_size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j converts scala.math.BigInt to a Python int when it fits; a
+        # genuinely huge sentinel (unknown size) may come back as an object
+        size = raw_size if isinstance(raw_size, int) else int(raw_size.toString())
     except Exception:
         return df  # stats unavailable -> leave the plan untouched
     raw = sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728")

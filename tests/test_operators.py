@@ -492,3 +492,22 @@ def test_url_canonicalization_rules(spark):
     assert out[4].host == "host.net"  # userinfo stripped from host
     assert out[2].domain == "example.org"
     assert out[6].domain == "z.co"
+
+
+def test_spread_widens_small_inputs(spark, tmp_path):
+    """_spread must actually widen a small single-partition input — scans
+    AND derived plans.  Round 4 shipped a silent no-op (a py4j type change
+    swallowed by a broad except) that serialized every explode-heavy text
+    operator; this pins the contract."""
+    from ape_dts_spark.operators.text_dedup import _spread
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = str(tmp_path / "docs")
+    spark.range(100).selectExpr("id as doc_id", "repeat('x', 50) as text").coalesce(
+        1
+    ).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert scan.rdd.getNumPartitions() < target  # premise: starts narrow
+    assert _spread(scan).rdd.getNumPartitions() == target
+    derived = scan.groupBy("doc_id").count()
+    assert _spread(derived).rdd.getNumPartitions() == target
