@@ -511,3 +511,37 @@ def test_spread_widens_small_inputs(spark, tmp_path):
     assert _spread(scan).rdd.getNumPartitions() == target
     derived = scan.groupBy("doc_id").count()
     assert _spread(derived).rdd.getNumPartitions() == target
+
+
+def test_connected_components_distributed_matches_union_find(spark):
+    """Equivalence oracle on a mixed-shape graph (near-cliques + scrambled
+    chains): the distributed contraction loop must produce EXACTLY the
+    driver union-find labeling — same nodes, same min-id cluster labels."""
+    from ape_dts_spark.operators.dedup_clusters import (
+        _driver_union_find,
+        connected_components,
+    )
+
+    edges = []
+    for c in range(40):  # 40 near-cliques of 30 nodes
+        base = c * 100
+        edges += [(base + (i * 7) % 30, base + (i * 11) % 30) for i in range(60)]
+    for c in range(10):  # 10 scrambled 60-hop chains
+        base = 10_000 + c * 100
+        ids = sorted(range(61), key=lambda i: (i * 37) % 61)
+        edges += [(base + ids[i], base + ids[i + 1]) for i in range(60)]
+    pairs = (
+        spark.createDataFrame(edges, ["x", "y"])
+        .where(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, driver_max_pairs=0).collect()
+    }
+    uf = {
+        r.doc_id: r.cluster_id
+        for r in _driver_union_find(spark, pairs, "a", "b").collect()
+    }
+    assert dist == uf
