@@ -10,8 +10,9 @@ contract the engine's column DDL already has (re-applying after a crash is
 a no-op, never an error).
 
 Atomicity notes (single-writer per catalog, like the engine's DDL barrier):
-* create_table: LakeTable.create's `os.makedirs(exist_ok=False)` makes the
-  second concurrent creator fail — single winner.
+* create_table: LakeTable.create publishes v0 via `os.link` (EEXIST =>
+  CommitConflict), so of two concurrent creators exactly one wins; a crash
+  mid-create leaves a resumable half-made dir, not a bricked one.
 * rename_table: `os.rename` of the table root is atomic on a POSIX fs; the
   manifest stores only relative paths, so a renamed table is immediately
   loadable.  (On object stores this becomes a catalog pointer swap.)

@@ -229,7 +229,14 @@ class LakeTable:
         bucket_count: int = 16,
         properties: dict[str, str] | None = None,
     ) -> "LakeTable":
-        os.makedirs(os.path.join(path, "_meta"), exist_ok=False)
+        if LakeTable.exists(path):
+            raise FileExistsError(f"table already committed at {path}")
+        # exist_ok=True: a crash between these mkdirs and the first manifest
+        # publish must be RESUMABLE — with exist_ok=False the retry finds
+        # exists() False (no committed v0) yet makedirs raising, bricking the
+        # path until manual cleanup.  Single-winner atomicity lives in
+        # _publish's os.link (EEXIST => CommitConflict), not in the mkdir.
+        os.makedirs(os.path.join(path, "_meta"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         schema = TableSchema.from_cols(cols)
         m = _Manifest(
@@ -460,27 +467,6 @@ class LakeTable:
         writer.parquet(staging)
         entries: list[dict] = []
         nv = self.manifest.version + 1
-
-        def _emit(src_dir: str, bucket: int, is_delete: bool) -> None:
-            for i, fn in enumerate(sorted(os.listdir(src_dir))):
-                if not fn.endswith(".parquet"):
-                    continue
-                rel = f"data/v{nv}-{kind[0]}{bucket}-{i}-{uuid.uuid4().hex[:8]}.parquet"
-                dst = os.path.join(self.path, rel)
-                shutil.move(os.path.join(src_dir, fn), dst)
-                rows = self._footer_rows(dst)
-                entries.append(
-                    {
-                        "path": rel,
-                        "bucket": bucket,
-                        "schema_version": self.manifest.current_schema,
-                        "rows": rows,
-                        "deletes": rows if is_delete else 0,
-                        "kind": kind,
-                        "bytes": os.path.getsize(dst),
-                    }
-                )
-
         try:
             if with_bucket_col:
                 for d in sorted(os.listdir(staging)):
@@ -491,14 +477,48 @@ class LakeTable:
                     if split_deletes:
                         for dd in sorted(os.listdir(bdir)):
                             if dd.startswith("_dl="):
-                                _emit(os.path.join(bdir, dd), bucket, dd == "_dl=1")
+                                self._emit_staged(
+                                    os.path.join(bdir, dd), bucket, kind, nv,
+                                    dd == "_dl=1", entries,
+                                )
                     else:
-                        _emit(bdir, bucket, False)
+                        self._emit_staged(bdir, bucket, kind, nv, False, entries)
             else:
-                _emit(staging, 0, False)
+                self._emit_staged(staging, 0, kind, nv, False, entries)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return entries
+
+    def _emit_staged(
+        self,
+        src_dir: str,
+        bucket: int,
+        kind: str,
+        nv: int,
+        is_delete: bool,
+        entries: list[dict],
+    ) -> None:
+        """The ONE staged-file emitter (move under data/, footer-exact rows,
+        manifest entry) shared by _stage_write and _stage_write_kinds — one
+        spelling so entry fields can't drift between the write paths."""
+        for i, fn in enumerate(sorted(os.listdir(src_dir))):
+            if not fn.endswith(".parquet"):
+                continue
+            rel = f"data/v{nv}-{kind[0]}{bucket}-{i}-{uuid.uuid4().hex[:8]}.parquet"
+            dst = os.path.join(self.path, rel)
+            shutil.move(os.path.join(src_dir, fn), dst)
+            rows = self._footer_rows(dst)
+            entries.append(
+                {
+                    "path": rel,
+                    "bucket": bucket,
+                    "schema_version": self.manifest.current_schema,
+                    "rows": rows,
+                    "deletes": rows if is_delete else 0,
+                    "kind": kind,
+                    "bytes": os.path.getsize(dst),
+                }
+            )
 
     def _stage_write_kinds(self, df: DataFrame) -> list[dict]:
         """Compaction write: one pass, partitioned by (`_kind`, bucket).
@@ -517,23 +537,10 @@ class LakeTable:
                     if not d.startswith(f"{BUCKET_COL}="):
                         continue
                     bucket = int(d.split("=", 1)[1])
-                    src_dir = os.path.join(staging, kd, d)
-                    for i, fn in enumerate(sorted(os.listdir(src_dir))):
-                        if not fn.endswith(".parquet"):
-                            continue
-                        rel = f"data/v{nv}-{kind[0]}{bucket}-{i}-{uuid.uuid4().hex[:8]}.parquet"
-                        dst = os.path.join(self.path, rel)
-                        shutil.move(os.path.join(src_dir, fn), dst)
-                        entries.append(
-                            {
-                                "path": rel,
-                                "bucket": bucket,
-                                "schema_version": self.manifest.current_schema,
-                                "rows": None,
-                                "kind": kind,
-                                "bytes": os.path.getsize(dst),
-                            }
-                        )
+                    self._emit_staged(
+                        os.path.join(staging, kd, d), bucket, kind, nv,
+                        kind == "tombstone", entries,
+                    )
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return entries

@@ -208,6 +208,37 @@ def misbound_lifecycle_error(
     return None
 
 
+def emit_change_feed(
+    spark: SparkSession, pages: LakeTable, deduped: DataFrame, cfg: "EngineConfig"
+) -> None:
+    """Outbound keyed change feed (reference kafka_sinker.rs:56-97) — the ONE
+    spelling, shared by the batch driver and the streaming tail.  Must run
+    BEFORE the merge so attached before-images reflect pre-batch committed
+    state; callers persist `deduped` so the prep chain (extraction included)
+    runs once for feed + merge."""
+    from ape_dts_spark.operators.before_image import attach_before_images
+    from ape_dts_spark.operators.change_feed import (
+        avro_encode_records,
+        change_feed_records,
+        write_change_feed,
+    )
+
+    feed_df = deduped
+    before_col = None
+    if cfg.feed_before_images:
+        feed_df = attach_before_images(spark, pages, feed_df, key_col=cfg.key_col)
+        before_col = "before"
+    records = change_feed_records(
+        feed_df,
+        key_col=cfg.key_col,
+        origin=cfg.node_id or cfg.job_id,
+        before_col=before_col,
+    )
+    if cfg.feed_format == "avro":
+        records = avro_encode_records(records)
+    write_change_feed(records, cfg.feed_path)
+
+
 def maybe_compact(spark: SparkSession, pages: LakeTable, cfg: "EngineConfig") -> bool:
     """Incremental MOR maintenance: compact the hottest buckets (per-bucket
     delta fraction above cfg.compact_ratio), at most cfg.compact_max_buckets
@@ -290,10 +321,14 @@ def prepare_changes(pages: LakeTable, df: DataFrame, cfg: "EngineConfig") -> Dat
         name = f["name"]
         if name in ("text", "last_lsn"):
             continue
-        cand = next((c for c in [name] + hist.get(name, []) if c in src_cols), None)
-        if cand is None:
+        cands = [c for c in [name] + hist.get(name, []) if c in src_cols]
+        if not cands:
             continue  # merge_into null-pads missing payload columns
-        payload.append(F.col(cand).alias(name))
+        # a mixed-schema stream (rename_column mid-stream) carries the old
+        # name in pre-DDL files and the new in post-DDL ones — coalesce so
+        # each row keeps its value regardless of which file it came from
+        expr = F.col(cands[0]) if len(cands) == 1 else F.coalesce(*[F.col(c) for c in cands])
+        payload.append(expr.alias(name))
     # origin rides along for feed emission (merge_into ignores non-schema
     # columns); dropped implicitly by the sink's schema projection
     carry = [F.col("origin")] if cfg.feed_path and "origin" in df.columns else []
@@ -326,15 +361,31 @@ class CdcEngine:
         self.stopped_reason: str | None = None
         if not LakeTable.exists(cfg.pages_path) and cfg.catalog_root:
             self._adopt_renamed_table()
-        self.pages = LakeTable.load(cfg.pages_path)
+        if not LakeTable.exists(cfg.pages_path) and self._stream_drops_bound():
+            # crash-replay contract for in-stream DROP: a restart after the
+            # bound table (or its database) was dropped must reach the same
+            # clean stop as the run that applied the DDL — not crash-loop on
+            # FileNotFoundError before the drop event can ever be re-replayed
+            self.stopped_reason = (
+                f"table {self._bound_table_name()} dropped at ddl replay (restart)"
+            )
+            self.pages = None
+        else:
+            self.pages = LakeTable.load(cfg.pages_path)
         cp = cfg.checkpoints_path or cfg.pages_path.rstrip("/") + "_checkpoints"
         ln = cfg.lineage_path or cfg.pages_path.rstrip("/") + "_lineage"
-        self.checkpoints = (
-            LakeTable.load(cp) if LakeTable.exists(cp) else LakeTable.create(cp, CHECKPOINT_COLS)
-        )
-        self.lineage = (
-            LakeTable.load(ln) if LakeTable.exists(ln) else LakeTable.create(ln, LINEAGE_COLS)
-        )
+        if self.stopped_reason is not None:
+            # dropped-table restart: never CREATE bookkeeping tables under a
+            # path whose table (or database) the stream just dropped
+            self.checkpoints = LakeTable.load(cp) if LakeTable.exists(cp) else None
+            self.lineage = LakeTable.load(ln) if LakeTable.exists(ln) else None
+        else:
+            self.checkpoints = (
+                LakeTable.load(cp) if LakeTable.exists(cp) else LakeTable.create(cp, CHECKPOINT_COLS)
+            )
+            self.lineage = (
+                LakeTable.load(ln) if LakeTable.exists(ln) else LakeTable.create(ln, LINEAGE_COLS)
+            )
         self.metrics: dict[str, float] = {
             "record_count": 0,
             "data_bytes": 0,
@@ -375,6 +426,30 @@ class CdcEngine:
                 self.cfg.pages_path = cand_path
                 return
 
+    def _stream_drops_bound(self) -> bool:
+        """True when the DDL stream drops the bound table (under any name on
+        its rename chain) or cascade-drops the database holding it — the
+        reason a restart may legitimately find no table at pages_path."""
+        import os
+
+        self._ddls = getattr(self, "_ddls", None) or self._load_ddls()
+        names = {os.path.basename(self.cfg.pages_path.rstrip("/"))}
+        db = (
+            os.path.basename(self.cfg.catalog_root.rstrip("/"))
+            if self.cfg.catalog_root
+            else None
+        )
+        for d in self._ddls:
+            p = json.loads(d["payload"])
+            t = d["ddl_type"]
+            if t == "rename_table" and p.get("from") in names:
+                names.add(p["to"])
+            elif t == "drop_table" and p.get("table") in names:
+                return True
+            elif t == "drop_database" and p.get("cascade") and p.get("db") == db:
+                return True
+        return False
+
     def _load_ddls(self) -> list[dict]:
         if not self.cfg.ddl_path:
             return []
@@ -394,11 +469,61 @@ class CdcEngine:
 
     def _changes(self) -> DataFrame:
         # schema inference reads parquet footers = one driver job; do it once
-        # per engine, not once per batch (fixed per-batch cost kills the
-        # scaling of short batches)
+        # per engine — NOT once per batch (fixed per-batch cost kills the
+        # scaling of short batches) — and re-do it after every schema DDL
+        # (_apply_ddl invalidates the cache): files written after an
+        # add_column carry the new column, and a schema pinned from a pre-DDL
+        # footer would silently null it into the sink.
         if not hasattr(self, "_changes_schema"):
-            self._changes_schema = self.spark.read.parquet(self.cfg.changes_path).schema
+            self._changes_schema = self._infer_changes_schema()
         return self.spark.read.schema(self._changes_schema).parquet(self.cfg.changes_path)
+
+    def _infer_changes_schema(self):
+        """Footer-MERGED inference: single-footer inference (mergeSchema off)
+        reads whichever file Spark samples, so a stream whose later files
+        carry DDL-added columns loses them.  When merging fails on numeric
+        width mixes (a widen_column mid-stream leaves int32/int64 footers
+        that StructType.merge rejects), fall back to single-footer inference
+        reconciled by name: widen numerics to the sink schema's type and add
+        DDL-announced columns the sampled footer lacked — the explicit read
+        schema then decodes every file via Spark's parquet type promotion."""
+        try:
+            return (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(self.cfg.changes_path)
+                .schema
+            )
+        except Exception:
+            from pyspark.sql import types as T
+
+            from ape_dts_spark.lake.table import spark_type
+
+            promote = {
+                ("integer", "long"),
+                ("integer", "double"),
+                ("integer", "float"),
+                ("float", "double"),
+            }
+            sch = self.spark.read.parquet(self.cfg.changes_path).schema
+            sink = {f["name"]: spark_type(f["type"]) for f in self.pages.schema.fields}
+            fields, seen = [], set()
+            for f in sch.fields:
+                t = sink.get(f.name, f.dataType)
+                if (f.dataType.typeName(), t.typeName()) not in promote:
+                    t = f.dataType
+                fields.append(T.StructField(f.name, t, True))
+                seen.add(f.name)
+            # columns an add_column DDL announced but the sampled footer
+            # predates (ONLY those: adding arbitrary sink columns would
+            # project phantom NULLs over real values in the merge)
+            for d in self._ddls:
+                if d["ddl_type"] != "add_column":
+                    continue
+                p = json.loads(d["payload"])
+                if p["col"] not in seen:
+                    fields.append(T.StructField(p["col"], spark_type(p["type"]), True))
+                    seen.add(p["col"])
+            return T.StructType(fields)
 
     def max_lsn(self) -> int:
         row = self._changes().agg(F.max("lsn")).collect()[0]
@@ -409,6 +534,22 @@ class CdcEngine:
     def run(self, max_batches: int | None = None) -> dict:
         """Consume the change stream to its current end (snapshot+tail replay)."""
         t0 = time.monotonic()
+        if self.stopped_reason is not None:
+            # constructed against an already-dropped table: same clean stop
+            # the run that applied the drop DDL reached
+            return {
+                "batches": 0,
+                "hwm": 0,
+                "events": 0,
+                "wall_sec": 0.0,
+                "events_per_sec": 0.0,
+                "metrics": dict(self.metrics),
+                "stopped_reason": self.stopped_reason,
+            }
+        # each run() consumes files present NOW (end is pinned below) — files
+        # appended since the last run may carry DDL-added columns, so the
+        # cached change-stream schema is only trusted within one run
+        self.__dict__.pop("_changes_schema", None)
         hwm, last_batch = self.committed_hwm()
         if last_batch < 0 and self.cfg.start_lsn > hwm:
             hwm = self.cfg.start_lsn  # fresh job: begin after the configured position
@@ -427,7 +568,10 @@ class CdcEngine:
             barrier = None
             if ddl is not None and ddl["lsn"] <= hi:
                 hi = ddl["lsn"]  # DDL barrier caps the batch (changes lsn <= L first)
-                barrier = ddl
+                # ALL events at this lsn form one barrier group: real sources
+                # emit several ALTERs at one position, and advancing hwm past
+                # L after applying only the first would skip the rest forever
+                barrier = [d for d in self._ddls if d["lsn"] == hi]
             tb0 = time.monotonic()
             before = self.metrics["record_count"]
             self._apply_batch(batch_id, hwm, hi, barrier)
@@ -454,7 +598,7 @@ class CdcEngine:
 
     # ------------------------------------------------------------- one batch
 
-    def _apply_batch(self, batch_id: int, lo: int, hi: int, ddl: dict | None) -> None:
+    def _apply_batch(self, batch_id: int, lo: int, hi: int, ddls: list[dict] | None) -> None:
         t0 = time.monotonic()
         cfg = self.cfg
         self.pages.refresh()
@@ -480,35 +624,9 @@ class CdcEngine:
         t_prep = time.monotonic() - t0
         t_feed = 0.0
         if cfg.feed_path and not already_applied:
-            # Outbound change feed, emitted BEFORE the merge so before-images
-            # reflect pre-batch committed state.  The batch is persisted so
-            # the expensive prep chain (extraction included) runs once for
-            # feed + merge, then released.
-            from ape_dts_spark.operators.before_image import attach_before_images
-            from ape_dts_spark.operators.change_feed import (
-                avro_encode_records,
-                change_feed_records,
-                write_change_feed,
-            )
-
             tf0 = time.monotonic()
             deduped = deduped.persist()
-            feed_df = deduped
-            before_col = None
-            if cfg.feed_before_images:
-                feed_df = attach_before_images(
-                    self.spark, self.pages, feed_df, key_col=cfg.key_col
-                )
-                before_col = "before"
-            records = change_feed_records(
-                feed_df,
-                key_col=cfg.key_col,
-                origin=cfg.node_id or cfg.job_id,
-                before_col=before_col,
-            )
-            if cfg.feed_format == "avro":
-                records = avro_encode_records(records)
-            write_change_feed(records, cfg.feed_path)
+            emit_change_feed(self.spark, self.pages, deduped, cfg)
             t_feed = time.monotonic() - tf0
         if not already_applied:
             stats = merge_into(
@@ -528,14 +646,24 @@ class CdcEngine:
                     and self.pages.manifest.bucket_key == cfg.key_col
                 ),
             )
+            # Observation.get BLOCKS FOREVER when the CollectMetrics node ran
+            # zero tasks (a plan the optimizer collapses to an empty relation
+            # never resolves it) — an `except` around .get can't catch a hang.
+            # Probe the JVM row non-blockingly first (getRowOrEmpty compiles
+            # public from Scala's private[spark]); only then read .get.
             try:
+                jopt = obs._jo.getRowOrEmpty()
+                # zero-task runs can also resolve to a schema-less EMPTY row,
+                # which .get cannot convert — treat it as unresolved too
+                resolved = (not jopt.isEmpty()) and jopt.get().length() > 0
+            except Exception:
+                resolved = False  # accessor unavailable: never risk blocking
+            if resolved:
                 got = obs.get
                 input_records = int(got["records"] or 0)
                 input_bytes = int(got["bytes"] or 0)
-            except Exception:
-                # a batch the filter empties entirely runs zero tasks through
-                # the CollectMetrics node and the observation never resolves;
-                # fall back to one bounded count job (rare: empty batches only)
+            else:
+                # fall back to one bounded count job (rare: empty slices only)
                 input_records = self._changes().filter(
                     (F.col("lsn") > lo) & (F.col("lsn") <= hi)
                 ).count()
@@ -566,11 +694,16 @@ class CdcEngine:
             self.lineage.expire_snapshots(keep_last=cfg.expire_keep_last)
         t_compact = time.monotonic() - t0 - t_prep - t_feed - t_merge
 
-        if ddl is not None:
-            self._apply_ddl(ddl)
+        for d in ddls or []:
+            self._apply_ddl(d)
             self.metrics["ddl_records"] += 1
 
-        self._write_checkpoint(batch_id, hi)
+        # a lifecycle DDL that just dropped the database holding this
+        # engine's own bookkeeping tables leaves nowhere to checkpoint —
+        # probing existence only on the stop path keeps the hot loop free
+        # of an extra listing
+        if self.stopped_reason is None or LakeTable.exists(self.checkpoints.path):
+            self._write_checkpoint(batch_id, hi)
         if self.oplog is not None:
             # file-tail ops surface (position.log / monitor.log parity):
             # after the checkpoint commit, received == committed == hi
@@ -631,6 +764,9 @@ class CdcEngine:
         t = ddl["ddl_type"]
         if t in self.LIFECYCLE_DDL:
             return self._apply_lifecycle_ddl(t, p)
+        # files written after this DDL may carry the evolved columns — drop
+        # the cached change-stream schema so the next batch re-infers
+        self.__dict__.pop("_changes_schema", None)
         try:
             if t == "add_column":
                 self.pages.add_column(p["col"], p["type"])
@@ -716,12 +852,21 @@ class CdcEngine:
         elif t == "create_database":
             Catalog.create_database(os.path.dirname(root.rstrip("/")), p["db"])
         elif t == "drop_database":
+            base = os.path.dirname(root.rstrip("/"))
             Catalog.drop_database(
-                os.path.dirname(root.rstrip("/")),
+                base,
                 p["db"],
                 if_exists=True,
                 cascade=bool(p.get("cascade", False)),
             )
+            dropped = os.path.abspath(os.path.join(base, p["db"]))
+            pages_abs = os.path.abspath(self.cfg.pages_path.rstrip("/"))
+            if pages_abs.startswith(dropped + os.sep):
+                # the bound table lived in the dropped database: end the
+                # stream cleanly (mirror of drop_table on the bound table) —
+                # otherwise the next batch's refresh() dies mid-run with a
+                # raw FileNotFoundError and restarts crash-loop the same way
+                self.stopped_reason = f"database {p['db']} dropped at ddl replay"
 
     def _write_lineage(self, batch_id, lo, hi, stats, input_records, t0) -> None:
         """Per-lane lineage (reference per-lane counters, counter_type.rs:

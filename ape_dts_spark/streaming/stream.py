@@ -29,7 +29,12 @@ from pyspark.sql import SparkSession
 
 from ape_dts_spark.lake.table import LakeTable
 from ape_dts_spark.operators.merge import merge_into
-from ape_dts_spark.streaming.driver import EngineConfig, maybe_compact, prepare_changes
+from ape_dts_spark.streaming.driver import (
+    EngineConfig,
+    emit_change_feed,
+    maybe_compact,
+    prepare_changes,
+)
 
 
 def start_stream(
@@ -70,6 +75,12 @@ def start_stream(
 
     def sink_batch(batch_df, batch_id: int):
         deduped = prepare_changes(pages.refresh(), batch_df, cfg)
+        if cfg.feed_path:
+            # same contract as the batch driver: feed BEFORE merge (before-
+            # images reflect pre-batch committed state), persist so the prep
+            # chain runs once for feed + merge
+            deduped = deduped.persist()
+            emit_change_feed(spark, pages, deduped, cfg)
         merge_into(
             spark,
             pages,
@@ -82,6 +93,8 @@ def start_stream(
                 and pages.manifest.bucket_key == cfg.key_col
             ),
         )
+        if cfg.feed_path:
+            deduped.unpersist()
         maybe_compact(spark, pages, cfg)
 
     checkpoint_dir = checkpoint_dir or os.path.join(

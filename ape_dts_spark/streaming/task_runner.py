@@ -59,12 +59,27 @@ def run_multi_table(spark: SparkSession, cfg: MultiTableConfig) -> dict:
                 "spark.scheduler.pool", f"tb-{task.name}"
             )
         try:
+            import os
+
+            # a template-level derived path (checkpoints/lineage/feed/logs)
+            # is a PARENT directory: every table lane gets its own child.
+            # Shared verbatim, all lanes would append-commit to ONE LakeTable
+            # and race on the manifest version (CommitConflict mid-replay).
+            sub = task.name.replace("/", "_")
+
+            def _per_table(p: str | None) -> str | None:
+                return os.path.join(p.rstrip("/"), sub) if p else p
+
             ecfg = replace(
                 template,
                 job_id=f"{cfg.job_id}:{task.name}",
                 pages_path=task.pages_path,
                 changes_path=task.changes_path,
                 ddl_path=task.ddl_path,
+                checkpoints_path=_per_table(template.checkpoints_path),
+                lineage_path=_per_table(template.lineage_path),
+                feed_path=_per_table(template.feed_path),
+                log_dir=_per_table(template.log_dir),
             )
             eng = CdcEngine(spark, ecfg)
             t0 = time.monotonic()
