@@ -74,17 +74,12 @@ def q_cdc_merge_apply(spark, sf_dir):
 def q_cdc_update_split(spark, sf_dir):
     """Update -> Delete(before)+Insert(after) (row_data.rs:71-82); before-image
     synthesized with lag() since the stream carries after-images only."""
+    from ape_dts_spark.operators.dedup import split_updates
+
     ch = _cdc(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("lsn")
     upd = ch.withColumn("before_value", F.lag("value").over(w)).filter(F.col("op") == "update")
-    as_del = upd.select(
-        "lsn", "user_id", F.lit("delete").alias("op"),
-        F.col("before_value").alias("value"), F.lit(0).alias("phase"),
-    )
-    as_ins = upd.select(
-        "lsn", "user_id", F.lit("insert").alias("op"), F.col("value"), F.lit(1).alias("phase")
-    )
-    return as_del.unionByName(as_ins)
+    return split_updates(upd).select("lsn", "user_id", "op", "value", "phase")
 
 
 def q_cdc_reverse_ops(spark, sf_dir):
@@ -728,10 +723,17 @@ def _messy_urls(spark, sf_dir):
     port = (
         F.when(i % 4 == 0, F.lit(":80")).when(i % 4 == 1, F.lit(":443")).otherwise(F.lit(""))
     )
-    path = F.when(i % 11 == 0, F.lit("/")).otherwise(
-        F.concat(
-            F.lit("/Art/"), (i % 97).cast("string"),
-            F.when(i % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+    # i%11==5: NO path at all — '?'/'#' then follow the authority directly
+    # (e.g. 'https://h:443#Sec1'), the case where a host regex that fails to
+    # stop at '#' leaks the fragment into the host.
+    path = (
+        F.when(i % 11 == 0, F.lit("/"))
+        .when(i % 11 == 5, F.lit(""))
+        .otherwise(
+            F.concat(
+                F.lit("/Art/"), (i % 97).cast("string"),
+                F.when(i % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            )
         )
     )
     q = (
@@ -945,12 +947,26 @@ def _plane_sql(seed_expr: str) -> str:
     )
 
 
-#: left-fold dot product identical to similarity._dot's aggregate() order,
-#: so bucket sign bits agree bit-for-bit between Spark and DuckDB.
-_FOLD_DOT = (
-    "list_reduce(list_prepend((0.0)::DOUBLE, "
-    "list_transform(list_zip(v, pv), x -> x[1] * x[2])), (acc, e) -> acc + e)"
-)
+def _fold_dot(a: str, b: str) -> str:
+    """Left-fold dot product of two DOUBLE[] expressions, identical to
+    similarity._dot's aggregate() order — the fold shape IS the bit-for-bit
+    parity contract (bucket sign bits must agree between Spark and DuckDB),
+    so there is exactly ONE spelling of it."""
+    return (
+        "list_reduce(list_prepend((0.0)::DOUBLE, "
+        f"list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), (acc, e) -> acc + e)"
+    )
+
+
+def _fold_norm(a: str) -> str:
+    """sqrt(left-fold sum of squares) — similarity._norm's exact order."""
+    return (
+        "sqrt(list_reduce(list_prepend((0.0)::DOUBLE, "
+        f"list_transform({a}, x -> x * x)), (acc, e) -> acc + e))"
+    )
+
+
+_FOLD_DOT = _fold_dot("v", "pv")
 
 
 def _ann_lsh_oracle_sql(n_planes: int = 6, k: int = 5, seed: int = 42) -> str:
@@ -1029,23 +1045,6 @@ def _ann_lsh_multiprobe_oracle_sql(
               FROM scored
             ) WHERE rank <= {k}
         """
-
-
-def _fold_dot(a: str, b: str) -> str:
-    """Left-fold dot product of two DOUBLE[] expressions, identical to
-    similarity._dot's aggregate() order."""
-    return (
-        "list_reduce(list_prepend((0.0)::DOUBLE, "
-        f"list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), (acc, e) -> acc + e)"
-    )
-
-
-def _fold_norm(a: str) -> str:
-    """sqrt(left-fold sum of squares) — similarity._norm's exact order."""
-    return (
-        "sqrt(list_reduce(list_prepend((0.0)::DOUBLE, "
-        f"list_transform({a}, x -> x * x)), (acc, e) -> acc + e))"
-    )
 
 
 def _ivf_oracle_sql(n_cells: int = 8, n_probe: int = 2, k: int = 5, seed: int = 42) -> str:
@@ -1195,11 +1194,13 @@ def _url_canonicalize_oracle_sql() -> str:
     Same regexp literals; DuckDB backreference syntax is \\1 (Java's is $1) —
     replacement spelling differs, produced values are identical.  All
     patterns are anchored single-match, so no 'g' flag is needed."""
-    from ape_dts_spark.operators.url_tools import registered_domain_sql
+    from ape_dts_spark.operators.url_tools import _HOST, _SCHEME_AUTH, registered_domain_sql
 
-    sa = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)"
-    sa_bare = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*"
-    host_re = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?]*@)?([^/:?]+)"
+    # regex literals imported from the operator — one source of truth, the
+    # engines cannot drift (both are RE2-compatible charclass patterns)
+    sa = f"^({_SCHEME_AUTH[1:]})"
+    sa_bare = _SCHEME_AUTH
+    host_re = _HOST
     return f"""
         WITH m AS (
           SELECT doc_id,
@@ -1216,6 +1217,7 @@ def _url_canonicalize_oracle_sql() -> str:
             (CASE WHEN doc_id % 4 = 0 THEN ':80'
                   WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END) ||
             (CASE WHEN doc_id % 11 = 0 THEN '/'
+                  WHEN doc_id % 11 = 5 THEN ''
                   ELSE '/Art/' || CAST(doc_id % 97 AS VARCHAR) ||
                        (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) END) ||
             (CASE WHEN doc_id % 6 = 0 THEN '?'
@@ -1664,8 +1666,11 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.95, n_tables=3, planes_per_table=4, seed=42
         ),
         "media_metadata": """
+            -- empty payloads mirror the operator's no-decode branch
+            -- (multimodal._decode_one: digest NULL, decode_ok false)
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   md5(text) AS digest, true AS decode_ok
+                   CASE WHEN octet_length(encode(text)) > 0 THEN md5(text) END AS digest,
+                   octet_length(encode(text)) > 0 AS decode_ok
             FROM documents
         """,
         "dedup_clusters": f"""
@@ -1714,15 +1719,17 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY doc_id
             )
             SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words,
-                   round(b.types / CAST(b.n AS DOUBLE), 4) AS ttr,
-                   round(t.top / CAST(b.n AS DOUBLE), 4) AS top_word_frac,
-                   round((s.nb - s.db) / CAST(s.nb AS DOUBLE), 4) AS dup_bigram_frac
+                   ((20000::HUGEINT * b.types + b.n) // (2 * b.n)) / 10000.0 AS ttr,
+                   ((20000::HUGEINT * t.top + b.n) // (2 * b.n)) / 10000.0 AS top_word_frac,
+                   ((20000::HUGEINT * (s.nb - s.db) + s.nb) // (2 * s.nb)) / 10000.0
+                     AS dup_bigram_frac
             FROM base b JOIN tops t USING (doc_id) JOIN bstats s USING (doc_id)
         """,
         "text_length_hist": """
             SELECT lang, CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
                    CAST(count(*) AS BIGINT) AS n_docs,
-                   round(avg(n_chars), 2) AS avg_chars
+                   ((200::HUGEINT * sum(n_chars) + count(*)) // (2 * count(*)))
+                     / 100.0 AS avg_chars
             FROM documents GROUP BY 1, 2
         """,
         "corpus_bigram_topk": r"""

@@ -124,7 +124,7 @@ def review(
     flagged keys (broadcast — the flagged set is small by construction)
     followed by the same single full-outer-join classification as check().
     """
-    keys = prior_check.filter(F.col("check_result").isin("miss", "diff")).select(*key_cols)
+    keys = revise_keys(prior_check, key_cols)
     s = source.join(F.broadcast(keys), on=key_cols, how="left_semi")
     t = target.join(F.broadcast(keys), on=key_cols, how="left_semi")
     return check(s, t, key_cols, compare_cols=compare_cols)

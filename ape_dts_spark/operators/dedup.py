@@ -103,22 +103,43 @@ def lww_dedup_bucket_aligned(
     return out.drop("_ksalt") if key_salt > 1 else out
 
 
-def split_updates(df: DataFrame, op_col: str = "op") -> DataFrame:
+def split_updates(
+    df: DataFrame, op_col: str = "op", phase_col: str = "phase"
+) -> DataFrame:
     """Update -> Delete(before) + Insert(after) for append-only change-log sinks.
 
     Mirrors reference row_data.rs:71-82 (split_update_row_data); the MERGE path
     never needs this — it exists for change-feed outputs (Kafka-style sinks).
     Expects `before_*` columns for the before-image where available.
+
+    Adds `phase_col` (0 = delete-of-before, 1 = insert-of-after; unsplit rows
+    get 1): both halves of a split update carry the SAME lsn, so an
+    lsn-ordered consumer (or a dedup keyed on (key, lsn)) has no way to order
+    them without it — replaying insert-then-delete would tombstone a live
+    row.  Downstream order key is (lsn, phase).
+
+    Single-pass explode — a filter+union shape re-scans the source three
+    times, which at 10^10 events triples the dominant read cost.
     """
-    non_updates = df.filter(F.col(op_col) != "update")
-    updates = df.filter(F.col(op_col) == "update")
     before_cols = [c for c in df.columns if c.startswith("before_")]
-    as_delete = updates
-    for bc in before_cols:
-        as_delete = as_delete.withColumn(bc[len("before_") :], F.col(bc))
-    as_delete = as_delete.withColumn(op_col, F.lit("delete"))
-    as_insert = updates.withColumn(op_col, F.lit("insert"))
-    return non_updates.unionByName(as_delete).unionByName(as_insert)
+    restore = {
+        bc[len("before_") :]: F.col(bc)
+        for bc in before_cols
+        if bc[len("before_") :] in df.columns
+    }
+    restore[op_col] = F.lit("delete")
+
+    def mk(overrides: dict, phase: int) -> F.Column:
+        return F.struct(
+            *[overrides.get(c, F.col(c)).alias(c) for c in df.columns],
+            F.lit(phase).cast("int").alias(phase_col),
+        )
+
+    events = F.when(
+        F.col(op_col) == "update",
+        F.array(mk(restore, 0), mk({op_col: F.lit("insert")}, 1)),
+    ).otherwise(F.array(mk({}, 1)))
+    return df.select(F.explode(events).alias("_e")).select("_e.*")
 
 
 def split_key_change_updates(

@@ -99,10 +99,20 @@ class Router:
     tb_map: dict[str, str] = field(default_factory=dict)
 
     def route_cols(self, df: DataFrame) -> DataFrame:
-        for src, dst in self.col_map.items():
-            if src in df.columns:
-                df = df.withColumnRenamed(src, dst)
-        return df
+        # Simultaneous mapping in ONE projection — sequential
+        # withColumnRenamed cascades on overlapping maps (e.g.
+        # {a->b, b->c} would rename a's data twice and conflate columns,
+        # matching neither the reference's per-column map semantics nor
+        # user intent).  Collisions are config errors, surfaced eagerly.
+        if not self.col_map:
+            return df
+        targets = [self.col_map.get(c, c) for c in df.columns]
+        dupes = {t for t in targets if targets.count(t) > 1}
+        if dupes:
+            raise ValueError(f"col_map routes multiple columns to {sorted(dupes)}")
+        return df.select(
+            *[F.col(c).alias(t) for c, t in zip(df.columns, targets)]
+        )
 
     def route_tb(self, tb: str) -> str:
         return self.tb_map.get(tb, tb)

@@ -36,6 +36,15 @@ def cosine_sim(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cos_pre(a, b, na, nb):
+    """cosine with PRE-COMPUTED norms — bit-identical to cosine_sim (same
+    double product in the denominator) but evaluated per-row instead of
+    per-pair.  In the top-k scorers each side's norm is computed once in the
+    side's own projection (below the join), cutting ~2/3 of the scoring
+    FLOPs on the |Q| x corpus hot path."""
+    return _dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -47,13 +56,23 @@ def brute_force_topk(
     """Exact cosine top-k per query: broadcast the (small) query set against
     the corpus, score JVM-side, keep k by window.  Output:
     (query_id, neighbor_id, cos_sim, rank)."""
-    q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv")))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qv"),
+            _norm(F.col(vec_col)).alias("_qn"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = q.crossJoin(c).filter(F.col(query_id_col) != F.col("neighbor_id"))
     scored = scored.select(
         F.col(query_id_col),
         F.col("neighbor_id"),
-        cosine_sim(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        _cos_pre(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -246,18 +265,21 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
     if n_probe <= 1:
         q = queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("_qv"),
+            _norm(F.col(vec_col)).alias("_qn"),
             lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
         )
     else:
         q = queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("_qv"),
+            _norm(F.col(vec_col)).alias("_qn"),
             F.explode(
                 _probe_buckets(lsh_dots(F.col(vec_col), planes), n_planes, n_probe)
             ).alias("_bucket"),
@@ -268,7 +290,7 @@ def lsh_topk(
         .select(
             F.col(query_id_col),
             F.col("neighbor_id"),
-            cosine_sim(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+            _cos_pre(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -356,13 +378,19 @@ def ivf_topk(
     corpus.  Recall rises with n_probe at linear cost.
     """
     assigned, cents = ivf_assign(corpus, n_cells, id_col, vec_col, seed)
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
     probes = (
         q.crossJoin(F.broadcast(cents))
         .select(
             F.col(query_id_col),
             F.col("_qv"),
+            F.col("_qn"),
             F.col("cell"),
+            # centroid norm recompute is fine here: |cents| = n_cells, tiny
             cosine_sim(F.col("_qv"), F.col("centroid")).alias("_csim"),
         )
         .withColumn(
@@ -374,10 +402,13 @@ def ivf_topk(
             ),
         )
         .filter(F.col("_rn") <= n_probe)
-        .select(query_id_col, "_qv", "cell")
+        .select(query_id_col, "_qv", "_qn", "cell")
     )
     c = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+        "cell",
     )
     scored = (
         probes.join(c, "cell")
@@ -385,7 +416,7 @@ def ivf_topk(
         .select(
             F.col(query_id_col),
             F.col("neighbor_id"),
-            cosine_sim(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+            _cos_pre(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ape_dts_spark.operators.text_dedup import _spread
+from ape_dts_spark.operators.text_dedup import _norm_words, _spread
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
 
@@ -24,8 +24,9 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def _words(col):
-    return F.split(F.lower(F.trim(col)), r"\s+")
+# Tokenization here MUST stay bit-identical to the dedup family's shingling
+# input (minhash/simhash read the same words) — one definition, not a copy.
+_words = _norm_words
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -188,14 +189,17 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .groupBy(id_col)
         .agg(F.max("c").alias("_top"))
     )
+    # All three ratios are integer/integer: round in exact integer space
+    # (_round4_div) — round() on the double quotient diverges across engines
+    # at representation boundaries (the reproduced skew_ratio failure class).
     return (
         base.join(top, id_col)
         .select(
             F.col(id_col),
             F.col("_n").cast("long").alias("n_words"),
-            F.round(F.col("_types") / F.col("_n"), 4).alias("ttr"),
-            F.round(F.col("_top") / F.col("_n"), 4).alias("top_word_frac"),
-            F.round((F.col("_nb") - F.col("_db")) / F.col("_nb"), 4).alias("dup_bigram_frac"),
+            _round4_div("_types", "_n").alias("ttr"),
+            _round4_div("_top", "_n").alias("top_word_frac"),
+            _round4_div("_nb - _db", "_nb").alias("dup_bigram_frac"),
         )
     )
 
@@ -212,7 +216,21 @@ def length_histogram(
         docs.groupBy(F.col(lang_col).alias("lang"), bucket.alias("bucket_lo"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg(chars_col), 2).alias("avg_chars"),
+            F.sum(chars_col).alias("_sum_chars"),
+        )
+        .select(
+            "lang",
+            "bucket_lo",
+            "n_docs",
+            # round(sum/n, 2) via exact integer round-half-up — NOT
+            # round(avg(double)): boundary quotients diverge across engines.
+            (
+                F.expr(
+                    "(CAST(200 AS DECIMAL(38,0)) * _sum_chars + n_docs)"
+                    " div (2 * n_docs)"
+                )
+                / 100.0
+            ).alias("avg_chars"),
         )
     )
 

@@ -29,8 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_SCHEME_AUTH = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*"
-_HOST = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?]*@)?([^/:?]+)"
+# '#' must terminate the authority too: url_host runs on the RAW url (only
+# url_canonical strips fragments), so a pathless 'https://h#frag' would
+# otherwise leak the fragment into the host and mis-key domain grouping.
+_SCHEME_AUTH = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+_HOST = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
 
 
 def canonicalize_url(url_col):

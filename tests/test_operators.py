@@ -545,3 +545,72 @@ def test_connected_components_distributed_matches_union_find(spark):
         for r in _driver_union_find(spark, pairs, "a", "b").collect()
     }
     assert dist == uf
+
+
+def test_router_simultaneous_rename_and_collision(spark):
+    """Overlapping col_maps must apply as ONE simultaneous mapping — the old
+    sequential withColumnRenamed cascaded ({a->b, b->c} pushed a's data all
+    the way to c and conflated columns)."""
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    out = Router(col_map={"a": "b", "b": "a"}).route_cols(df).collect()[0]
+    assert out.b == 1 and out.a == 2 and out.c == 3
+    df2 = df.select("a", "b")
+    out2 = Router(col_map={"a": "b", "b": "c"}).route_cols(df2).collect()[0]
+    assert out2.b == 1 and out2.c == 2 and "a" not in out2.asDict()
+    with pytest.raises(ValueError, match="col_map"):
+        Router(col_map={"a": "x", "b": "x"}).route_cols(df)
+    # mapping onto a column that also exists unmapped is a collision too
+    with pytest.raises(ValueError, match="col_map"):
+        Router(col_map={"a": "b", "b": "c"}).route_cols(df)
+
+
+def test_split_updates_phase_orders_halves(spark):
+    """Both halves of a split update share the update's lsn; the phase
+    column (0=delete-before, 1=insert-after) is the only total order — a
+    consumer replaying insert-then-delete would tombstone a live row."""
+    from ape_dts_spark.operators.dedup import split_updates
+
+    df = spark.createDataFrame(
+        [
+            (10, "insert", "k1", 5.0, None),
+            (11, "update", "k1", 6.0, 5.0),
+            (12, "delete", "k1", 6.0, 6.0),
+        ],
+        "lsn long, op string, url string, value double, before_value double",
+    )
+    rows = sorted(split_updates(df).collect(), key=lambda r: (r.lsn, r.phase))
+    assert [(r.lsn, r.op, r.phase) for r in rows] == [
+        (10, "insert", 1),
+        (11, "delete", 0),
+        (11, "insert", 1),
+        (12, "delete", 1),
+    ]
+    d = next(r for r in rows if r.lsn == 11 and r.phase == 0)
+    i = next(r for r in rows if r.lsn == 11 and r.phase == 1)
+    assert d.value == 5.0 and i.value == 6.0  # before restored / after kept
+
+
+def test_url_host_stops_at_fragment(spark):
+    """'#' must terminate the authority: url_host runs on the RAW url, so a
+    pathless 'https://h#frag' would otherwise leak the fragment into the
+    host and mis-key domain grouping/salting."""
+    from ape_dts_spark.operators.url_tools import registered_domain, url_host
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://Example.co.uk#top"),
+            (2, "https://h.com:443#f"),
+            (3, "http://u@h.org?q#f"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            url_host(F.col("url")).alias("h"),
+            registered_domain(F.col("url")).alias("d"),
+        ).collect()
+    }
+    assert out[1].h == "example.co.uk" and out[1].d == "example.co.uk"
+    assert out[2].h == "h.com" and out[3].h == "h.org"
