@@ -43,10 +43,18 @@ def _get_session(master: str | None) -> SparkSession:
         return active
     if master is None:
         # under spark-submit the builder carries the submitted conf; only
-        # fall back to the local default when nothing was configured
+        # fall back to the local default when nothing was configured.
+        # PYSPARK_GATEWAY_PORT is what spark-submit's PythonRunner actually
+        # sets for the driver process (SPARK_SUBMIT_OPTS/SPARK_CONF_DIR are
+        # optional user config and absent on a plain `spark-submit --master
+        # yarn app.py` — keying on them alone silently forced local[N]).
         import os
 
-        if "SPARK_SUBMIT_OPTS" in os.environ or os.environ.get("SPARK_CONF_DIR"):
+        if (
+            "PYSPARK_GATEWAY_PORT" in os.environ
+            or "SPARK_SUBMIT_OPTS" in os.environ
+            or os.environ.get("SPARK_CONF_DIR")
+        ):
             return SparkSession.builder.getOrCreate()
     return get_spark("ape-dts-spark-task", master=master)
 
@@ -75,7 +83,12 @@ def main(argv: list[str] | None = None) -> int:
     from ape_dts_spark.streaming.snapshot import snapshot_complete, snapshot_load
 
     cp = configparser.ConfigParser()
-    cp.read(args.config)
+    if not cp.read(args.config):
+        # configparser silently returns [] for a missing/unreadable file —
+        # without this check a typo'd path runs a default task against
+        # empty paths and litters the CWD with auto-created table dirs
+        print(f"error: cannot read config file {args.config!r}", file=sys.stderr)
+        return 2
     ext = cp["extractor"] if cp.has_section("extractor") else {}
     snk = cp["sinker"] if cp.has_section("sinker") else {}
     task = args.task or ext.get("extract_type", "cdc")
@@ -132,16 +145,12 @@ def main(argv: list[str] | None = None) -> int:
         source = spark.read.parquet(src_path)
         target = LakeTable.load(cfg.pages_path).read(spark)
         log_path = snk.get("check_log_path") or cfg.pages_path.rstrip("/") + "_checklog"
-        # default compare set: columns on BOTH sides minus the key and the
-        # engine's own bookkeeping column (its lsn differs by construction);
-        # [extractor] compare_cols overrides
+        from ape_dts_spark.operators.checker import default_compare_cols
+
+        # [extractor] compare_cols overrides the shared default rule
         compare_cols = [
             c.strip() for c in (ext.get("compare_cols") or "").split(",") if c.strip()
-        ] or [
-            c
-            for c in source.columns
-            if c in set(target.columns) and c not in (cfg.key_col, "last_lsn")
-        ]
+        ] or default_compare_cols(source, target, [cfg.key_col], exclude=("last_lsn",))
         if task == "check":
             res = run_check(
                 source, target, [cfg.key_col],
@@ -171,9 +180,11 @@ def main(argv: list[str] | None = None) -> int:
         if not src_path:
             print("error: revise task needs [extractor] snapshot_path", file=sys.stderr)
             return 2
+        from ape_dts_spark.operators.checker import revise_keys
+
         log_path = snk.get("check_log_path") or cfg.pages_path.rstrip("/") + "_checklog"
         log = spark.read.parquet(log_path)
-        keys = log.filter(F.col("check_result").isin("miss", "diff")).select(cfg.key_col)
+        keys = revise_keys(log, [cfg.key_col])
         source = spark.read.parquet(src_path)
         table = LakeTable.load(cfg.pages_path)
         # check-log re-extraction (mysql_check_extractor.rs:50-60): pull the

@@ -78,7 +78,11 @@ def load_task_config(path_or_text: str, is_text: bool = False) -> EngineConfig:
     if is_text:
         cp.read_string(path_or_text)
     else:
-        cp.read(path_or_text)
+        # configparser.read silently skips missing/unreadable files; an
+        # unchecked typo'd path would yield an all-defaults config with
+        # empty paths and fail much later with an opaque Spark error
+        if not cp.read(path_or_text):
+            raise FileNotFoundError(f"task config not readable: {path_or_text!r}")
 
     ext = cp["extractor"] if cp.has_section("extractor") else {}
     flt = cp["filter"] if cp.has_section("filter") else {}

@@ -35,6 +35,20 @@ def sample_predicate(key_cols: list[str], sample_interval: int):
     return F.pmod(h, F.lit(sample_interval)) == 0
 
 
+def default_compare_cols(
+    source: DataFrame,
+    target: DataFrame,
+    key_cols: list[str],
+    exclude: tuple[str, ...] = (),
+) -> list[str]:
+    """Columns compared when none are configured: present on BOTH sides,
+    minus the key and any engine bookkeeping columns (`exclude`, e.g.
+    last_lsn whose values differ by construction)."""
+    skip = set(key_cols) | set(exclude)
+    tcols = set(target.columns)
+    return [c for c in source.columns if c in tcols and c not in skip]
+
+
 def check(
     source: DataFrame,
     target: DataFrame,
@@ -56,7 +70,7 @@ def check(
     bounds the join while keeping miss/diff semantics exact within it.
     """
     if compare_cols is None:
-        compare_cols = [c for c in source.columns if c in set(target.columns) and c not in key_cols]
+        compare_cols = default_compare_cols(source, target, key_cols)
     if sample_interval > 1:
         pred = sample_predicate(key_cols, sample_interval)
         source = source.filter(pred)

@@ -20,8 +20,14 @@ from pyspark.sql import functions as F
 from ape_dts_spark.lake.table import LakeTable
 from ape_dts_spark.streaming.driver import EngineConfig
 
-REQUIRED_CHANGE_COLS = {"lsn", "op", "url"}
 VALID_OPS = {"insert", "update", "delete"}
+
+
+def required_change_cols(cfg: EngineConfig) -> set[str]:
+    """The change stream must carry the LSN order, the op, and the stream's
+    configured merge key (NOT a hardcoded 'url' — the engine keys off
+    cfg.key_col everywhere else)."""
+    return {"lsn", "op", cfg.key_col}
 
 
 class PrecheckError(RuntimeError):
@@ -45,22 +51,34 @@ def precheck(spark: SparkSession, cfg: EngineConfig, deep: bool = False) -> dict
         changes = spark.read.parquet(cfg.changes_path)
     except Exception as e:
         raise PrecheckError(f"change stream unreadable at {cfg.changes_path}: {e}") from e
-    missing = REQUIRED_CHANGE_COLS - set(changes.columns)
+    missing = required_change_cols(cfg) - set(changes.columns)
     if missing:
         raise PrecheckError(f"change stream lacks columns {sorted(missing)}")
 
-    agg = changes.agg(
+    # fast path: count + min/max are footer-served partial aggs (no shuffle);
+    # the LSN-uniqueness check needs a countDistinct SHUFFLE over the whole
+    # stream — at the 10^10-event design point that is minutes of cluster
+    # time before any run starts, so it lives behind deep like the op scan
+    aggs = [
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct("lsn").alias("n_lsn"),
         F.min("lsn").alias("lsn_min"),
         F.max("lsn").alias("lsn_max"),
-    ).collect()[0]
-    report.update({k: agg[k] for k in ("n", "n_lsn", "lsn_min", "lsn_max")})
-    if agg["n"] != agg["n_lsn"]:
-        raise PrecheckError(f"duplicate LSNs: {agg['n']} rows, {agg['n_lsn']} distinct")
-
+    ]
     if deep:
-        bad_ops = changes.filter(~F.col("op").isin(list(VALID_OPS))).limit(1).collect()
+        aggs.append(F.countDistinct("lsn").alias("n_lsn"))
+    agg = changes.agg(*aggs).collect()[0]
+    report.update({k: agg[k] for k in ("n", "lsn_min", "lsn_max")})
+    if deep:
+        report["n_lsn"] = agg["n_lsn"]
+        if agg["n"] != agg["n_lsn"]:
+            raise PrecheckError(f"duplicate LSNs: {agg['n']} rows, {agg['n_lsn']} distinct")
+        # NULL satisfies neither isin nor its negation — check it explicitly
+        # or a corrupt extract with op=NULL sails through
+        bad_ops = (
+            changes.filter(~F.col("op").isin(list(VALID_OPS)) | F.col("op").isNull())
+            .limit(1)
+            .collect()
+        )
         if bad_ops:
             raise PrecheckError(f"invalid op value: {bad_ops[0]['op']!r}")
 

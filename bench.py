@@ -93,14 +93,32 @@ def write_bw_canary(procs: int = 4, mb_each: int = 256) -> float:
         p.start()
     for p in ps:
         p.join()
-    return round(procs * mb_each / 1024 / (time.monotonic() - t0), 2)
+    wall = time.monotonic() - t0
+    # drain the per-child signals: a failed /dev/shm write exits fast, and
+    # computing bytes/wall over that near-zero wall would report a huge
+    # bandwidth — read as "host not throttled" by the exact diagnostic this
+    # canary exists for.  -1.0 = canary itself failed, distinguishable from
+    # any real measurement.
+    vals = [q.get() for _ in ps]
+    if any(v < 0 for v in vals):
+        return -1.0
+    return round(procs * mb_each / 1024 / wall, 2)
 
 
 def prepare_input(spark, workdir: str, n_seed: int, n_events: int) -> dict:
     """Generate the deterministic CDC input once (shared across runs)."""
     changes_path = os.path.join(workdir, "changes")
     ddl_path = os.path.join(workdir, "ddl")
-    if not os.path.exists(changes_path):
+
+    def _complete(p: str) -> bool:
+        # a crashed prior run leaves a dir without parquet's _SUCCESS marker;
+        # resuming on bare exists() would silently benchmark a truncated
+        # stream (or crash on the never-written ddl dir)
+        return os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    if not (_complete(changes_path) and _complete(ddl_path)):
+        shutil.rmtree(changes_path, ignore_errors=True)
+        shutil.rmtree(ddl_path, ignore_errors=True)
         gen_changes(spark, n_events, n_seed, seed=42).write.parquet(changes_path)
         gen_ddl_events(spark, n_events).write.parquet(ddl_path)
     return {"changes": changes_path, "ddl": ddl_path}
@@ -156,7 +174,10 @@ def run_queries(spark, sf_dir: str) -> dict:
 
 def scaling_cell(cores: int) -> None:
     """One pinned scaling level (child process of --scaling)."""
-    os.sched_setaffinity(0, set(range(cores)))
+    # pin within the ALLOWED set — CPUs 0..N-1 need not be in it (cpuset
+    # containers, restricted affinity masks)
+    allowed = sorted(os.sched_getaffinity(0))
+    os.sched_setaffinity(0, set(allowed[:cores]))
     workdir = os.environ["BENCH_WORKDIR"]
     n_seed = int(os.environ["BENCH_SEED_N"])
     paths = {"changes": os.path.join(workdir, "changes"), "ddl": os.path.join(workdir, "ddl")}
@@ -206,7 +227,10 @@ def main():
                 check=True, capture_output=True, text=True, env=env,
             ).stdout.strip().splitlines()[-1]
             results[cores] = json.loads(out)
-        lo, hi = levels
+        # efficiency between the extremes — BENCH_LEVELS may carry
+        # intermediate levels (e.g. 4,8,16); all levels still ship in the
+        # JSON for per-step analysis
+        lo, hi = min(levels), max(levels)
         eff = (results[hi]["events_per_sec"] / results[lo]["events_per_sec"]) / (hi / lo)
         print(
             json.dumps(

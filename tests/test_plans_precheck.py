@@ -89,8 +89,11 @@ def test_precheck_ok_and_failures(spark, tmp_path):
     gen_changes(spark, 100, 50, seed=1).withColumn("lsn", F.lit(7)).write.parquet(dup)
     cfg3 = _mk_cfg(tmp_path / "y", spark)
     cfg3 = EngineConfig(job_id="pc", pages_path=cfg3.pages_path, changes_path=dup)
+    # (uniqueness needs a full countDistinct shuffle -> deep-only)
     with pytest.raises(PrecheckError, match="duplicate LSNs"):
-        precheck(spark, cfg3)
+        precheck(spark, cfg3, deep=True)
+    # the fast path skips the expensive scan and accepts the stream shape
+    assert "n_lsn" not in precheck(spark, cfg3)
 
     # lifecycle DDL without a catalog_root fails at precheck, not mid-run
     from ape_dts_spark.sources.generator import gen_ddl_events
@@ -195,3 +198,32 @@ def test_precheck_lifecycle_bound_table_outside_catalog(spark, tmp_path):
     ).write.parquet(ddl_ok)
     cfg.ddl_path = ddl_ok
     precheck(spark, cfg)
+
+
+def test_precheck_null_op_and_key_col(spark, tmp_path):
+    """deep=True must catch op=NULL (NULL satisfies neither isin nor its
+    negation), and the required-columns check keys off cfg.key_col, not a
+    hardcoded 'url'."""
+    cfg = _mk_cfg(tmp_path, spark)
+    nul = str(tmp_path / "nullop")
+    gen_changes(spark, 100, 50, seed=3).withColumn(
+        "op", F.when(F.col("lsn") == 5, F.lit(None).cast("string")).otherwise(F.col("op"))
+    ).write.parquet(nul)
+    cfg_nul = EngineConfig(job_id="pc", pages_path=cfg.pages_path, changes_path=nul)
+    with pytest.raises(PrecheckError, match="invalid op"):
+        precheck(spark, cfg_nul, deep=True)
+    precheck(spark, cfg_nul)  # fast path skips the deep op scan
+
+    # a stream keyed on something else: required cols follow the config
+    other = str(tmp_path / "otherkey")
+    gen_changes(spark, 100, 50, seed=4).withColumnRenamed("url", "page_id").write.parquet(other)
+    cfg_other = EngineConfig(job_id="pc", pages_path=cfg.pages_path, changes_path=other)
+    with pytest.raises(PrecheckError, match="url"):
+        precheck(spark, cfg_other)  # default key_col missing -> named in error
+
+
+def test_load_task_config_missing_file_raises(tmp_path):
+    from ape_dts_spark.config import load_task_config
+
+    with pytest.raises(FileNotFoundError, match="task config"):
+        load_task_config(str(tmp_path / "nope.ini"))
