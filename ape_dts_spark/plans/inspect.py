@@ -38,38 +38,73 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
             spark.conf.set(key, prev)
 
 
+def _balanced_span(txt: str, start: int, open_ch: str, close_ch: str) -> str:
+    """Body of a bracketed span starting just AFTER its opening bracket,
+    up to the MATCHING close — nested brackets of the same kind stay inside
+    (a `[^\\]]*` regex stops at the first ']' inside a value, e.g.
+    `In(lang, [en,de])`, truncating everything after it)."""
+    depth, i = 1, start
+    while i < len(txt) and depth:
+        c = txt[i]
+        if c == open_ch:
+            depth += 1
+        elif c == close_ch:
+            depth -= 1
+        i += 1
+    return txt[start : i - 1]
+
+
+def _split_top(body: str, pairs: str = "()[]") -> list[str]:
+    """Split on commas at nesting depth 0 only — filter args and
+    parameterized types carry commas too, e.g. GreaterThan(lsn,100),
+    decimal(10,2)."""
+    opens, closes = pairs[0::2], pairs[1::2]
+    out, cur, depth = [], [], 0
+    for ch in body:
+        if ch in opens:
+            depth += 1
+        elif ch in closes:
+            depth -= 1
+        if ch == "," and depth == 0:
+            if "".join(cur).strip():
+                out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """All PushedFilters entries across the plan's file scans."""
     txt = explain_str(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", txt):
-        body = m.group(1).strip()
-        # split on top-level commas only — filter args contain commas too,
-        # e.g. GreaterThan(lsn,100)
-        depth, cur = 0, []
-        for ch in body:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            if ch == "," and depth == 0:
-                if "".join(cur).strip():
-                    out.append("".join(cur).strip())
-                cur = []
-            else:
-                cur.append(ch)
-        if "".join(cur).strip():
-            out.append("".join(cur).strip())
+    marker = "PushedFilters: ["
+    pos = txt.find(marker)
+    while pos >= 0:
+        body = _balanced_span(txt, pos + len(marker), "[", "]")
+        out.extend(_split_top(body, "()[]"))
+        pos = txt.find(marker, pos + len(marker))
     return out
 
 
 def scan_columns(df: DataFrame) -> list[list[str]]:
-    """ReadSchema column lists, one per file scan (column-pruning evidence)."""
+    """ReadSchema column lists, one per file scan (column-pruning evidence).
+
+    Angle-bracket balanced so nested/parameterized types survive:
+    `struct<x:struct<y:int>,html:binary>` is two columns [x, html], not a
+    truncated-at-first-'>' fragment; `decimal(10,2)` is not split at its
+    comma."""
     txt = explain_str(df)
     scans = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", txt):
-        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+    marker = "ReadSchema: struct<"
+    pos = txt.find(marker)
+    while pos >= 0:
+        body = _balanced_span(txt, pos + len(marker), "<", ">")
+        cols = [entry.split(":", 1)[0].strip() for entry in _split_top(body, "()<>")]
         scans.append(cols)
+        pos = txt.find(marker, pos + len(marker))
     return scans
 
 
@@ -90,8 +125,15 @@ def wholestage_spans(df: DataFrame, execute: bool = True) -> int:
     """
     if execute:
         # must run through the df's OWN QueryExecution (a write wraps it in a
-        # fresh one and the AQE final plan would never land on this df)
-        df.collect()
+        # fresh one and the AQE final plan would never land on this df) — but
+        # JVM-side: executedPlan().execute() runs the adaptive plan to
+        # completion and finalizes it without ever shipping a row to the
+        # Python driver (df.collect() materializes EVERY row driver-side
+        # just to flip isFinalPlan, OOMing on any real input).
+        try:
+            df._jdf.queryExecution().executedPlan().execute().count()
+        except Exception:
+            df.collect()
     txt = explain_str(df, "simple")
     final = txt.split("== Initial Plan ==")[0]
     spans = {m for m in re.findall(r"\*\((\d+)\)", final)}

@@ -28,6 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EPOCH = 1_700_000_000  # fixed base so timestamps are deterministic
+
+# Key-change moved-to url_id namespace: KC_ID_BASE + lsn.  Disjoint from the
+# seed range and from insert mints (n_seed_urls + lsn) for every tail of a
+# multi-segment run, as long as n_seed_urls + max(lsn) < 2^40 (~1.1e12
+# events — far past any fixture or bench here).
+KC_ID_BASE = 1 << 40
 N_DOMAINS = 1000
 LANGS = ["en", "de", "fr", "zh", "es", "pt", "ja", "ru"]
 VOCAB = (
@@ -189,8 +195,14 @@ def gen_changes(
     # (the DB would reject it), and an artificial collision is unrecoverable
     # by ANY reverse stream (the event carries the read row's before image,
     # not the clobbered target's).  before_url = the existing row being moved.
+    # The moved-to id lives in its OWN namespace (KC_ID_BASE + lsn): lsn is
+    # globally unique across start_lsn continuation tails, and insert mints
+    # (n_seed_urls + lsn) stay below 2^40 for any realistic run — an offset
+    # of n_seed+n_events would only be disjoint WITHIN one gen_changes call
+    # (a later tail's inserts mint ids exactly over an earlier tail's kc
+    # targets, recreating the collision this scheme exists to prevent).
     key_change = (op == F.lit("update")) & (F.pmod(_h(F.col("lsn"), seed, 23), F.lit(211)) == 0)
-    kc_target_id = (F.lit(n_seed_urls + n_events) + F.col("lsn")).cast("long")
+    kc_target_id = (F.lit(KC_ID_BASE) + F.col("lsn")).cast("long")
     before_url = F.when(key_change, _url(url_id, seed)).otherwise(F.lit(None).cast("string"))
     url_id = F.when(key_change, kc_target_id).otherwise(url_id)
 

@@ -33,9 +33,27 @@ def main():
     s = get_spark(f"endurance-{cores}", master=f"local[{cores}]", shuffle_partitions=64,
                   extra_conf={"spark.local.dir": f"/dev/shm/spark-endu"})
     os.makedirs(workdir, exist_ok=True)
-    if not os.path.exists(f"{workdir}/changes"):
+    # fixture is keyed on (n_seed, n_events) via meta.json — a bare
+    # "changes/ exists" check silently reuses a differently-sized stream
+    # (batch_lsn_width is computed from the REQUESTED n_events, so a stale
+    # fixture measures a 10x-smaller workload with no error).  meta.json is
+    # written LAST so a crash mid-generation can never leave a workdir that
+    # passes the check while missing the ddl file.
+    meta_p = f"{workdir}/meta.json"
+    fresh = False
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            m = json.load(f)
+        fresh = m.get("n_seed") == n_seed and m.get("n_events") == n_events
+    if not fresh:
+        if os.path.exists(meta_p):
+            os.remove(meta_p)
+        for d in ("changes", "ddl"):
+            shutil.rmtree(f"{workdir}/{d}", ignore_errors=True)
         gen_changes(s, n_events, n_seed, seed=42).repartition(128).write.parquet(f"{workdir}/changes")
         gen_ddl_events(s, n_events).write.parquet(f"{workdir}/ddl")
+        with open(meta_p, "w") as f:
+            json.dump({"n_seed": n_seed, "n_events": n_events}, f)
     pp = f"{workdir}/pages"
     for sfx in ("", "_checkpoints", "_lineage"):
         shutil.rmtree(pp + sfx, ignore_errors=True)

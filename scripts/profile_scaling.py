@@ -24,7 +24,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-import ape_dts_spark.lake.table as table_mod  # noqa: E402
 from ape_dts_spark.functions.extract_text import extract_text_udf  # noqa: E402
 from ape_dts_spark.lake.table import LakeTable  # noqa: E402
 from ape_dts_spark.session import get_spark  # noqa: E402
@@ -35,67 +34,38 @@ STAGE_TIMES: dict[str, float] = {}
 
 
 def _patch_stage_write():
-    orig_write = table_mod.DataFrame.write  # not used; we patch methods below
+    """Split stage-write timing into Spark write vs driver-serial file moves
+    by wrapping the REAL implementations (no re-implementation: an inlined
+    copy of _stage_write drifts the moment the engine grows a parameter —
+    it already had, twice — and then the whole profile crashes or lies).
 
-    orig = LakeTable._stage_write
+    `_emit_staged` is the one driver-serial seam (listdir + move + footer
+    read), so: driver_move = time inside it, spark_write = the rest of
+    `_stage_write`."""
+    orig_sw = LakeTable._stage_write
+    orig_em = LakeTable._emit_staged
 
-    def timed(self, df, with_bucket_col, kind="base", pre_clustered=False):
+    def timed_sw(self, *args, **kwargs):
         t0 = time.monotonic()
-        staging = os.path.join(self.path, f"_staging-{__import__('uuid').uuid4().hex}")
-        if with_bucket_col and not pre_clustered:
-            df = df.repartition(self.manifest.bucket_count, F.col(table_mod.BUCKET_COL))
-        writer = df.write.mode("overwrite")
-        if with_bucket_col:
-            writer = writer.partitionBy(table_mod.BUCKET_COL)
-        writer.parquet(staging)
-        t1 = time.monotonic()
-        STAGE_TIMES["spark_write"] = STAGE_TIMES.get("spark_write", 0.0) + (t1 - t0)
-        # now the driver-serial part: reuse the original implementation's move
-        # loop by calling orig on a pre-written staging?  Simpler: inline move.
-        entries = []
-        nv = self.manifest.version + 1
-        import uuid as _uuid
-
         try:
-            if with_bucket_col:
-                for d in sorted(os.listdir(staging)):
-                    if not d.startswith(f"{table_mod.BUCKET_COL}="):
-                        continue
-                    bucket = int(d.split("=", 1)[1])
-                    for i, fn in enumerate(sorted(os.listdir(os.path.join(staging, d)))):
-                        if not fn.endswith(".parquet"):
-                            continue
-                        rel = f"data/v{nv}-{kind[0]}{bucket}-{i}-{_uuid.uuid4().hex[:8]}.parquet"
-                        dst = os.path.join(self.path, rel)
-                        shutil.move(os.path.join(staging, d, fn), dst)
-                        entries.append(
-                            {"path": rel, "bucket": bucket,
-                             "schema_version": self.manifest.current_schema,
-                             "rows": None, "kind": kind,
-                             "bytes": os.path.getsize(dst)}
-                        )
-            else:
-                for i, fn in enumerate(sorted(os.listdir(staging))):
-                    if not fn.endswith(".parquet"):
-                        continue
-                    rel = f"data/v{nv}-{kind[0]}0-{i}-{_uuid.uuid4().hex[:8]}.parquet"
-                    dst = os.path.join(self.path, rel)
-                    shutil.move(os.path.join(staging, fn), dst)
-                    entries.append(
-                        {"path": rel, "bucket": 0,
-                         "schema_version": self.manifest.current_schema,
-                         "rows": None, "kind": kind,
-                         "bytes": os.path.getsize(dst)}
-                    )
+            return orig_sw(self, *args, **kwargs)
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
-        STAGE_TIMES["driver_move"] = STAGE_TIMES.get("driver_move", 0.0) + (
-            time.monotonic() - t1
-        )
-        return entries
+            STAGE_TIMES["stage_write_total"] = STAGE_TIMES.get(
+                "stage_write_total", 0.0
+            ) + (time.monotonic() - t0)
 
-    LakeTable._stage_write = timed
-    return orig
+    def timed_em(self, *args, **kwargs):
+        t0 = time.monotonic()
+        try:
+            return orig_em(self, *args, **kwargs)
+        finally:
+            STAGE_TIMES["driver_move"] = STAGE_TIMES.get("driver_move", 0.0) + (
+                time.monotonic() - t0
+            )
+
+    LakeTable._stage_write = timed_sw
+    LakeTable._emit_staged = timed_em
+    return orig_sw
 
 
 def run_level(cores: int, workdir: str, paths: dict, n_seed: int, extract: bool) -> dict:
@@ -137,6 +107,10 @@ def run_level(cores: int, workdir: str, paths: dict, n_seed: int, extract: bool)
         "bookkeep": sum(b["bookkeep_s"] for b in eng.batch_log),
     }
     stages.update({k: round(v, 2) for k, v in STAGE_TIMES.items()})
+    if "stage_write_total" in stages:
+        stages["spark_write"] = round(
+            stages["stage_write_total"] - stages.get("driver_move", 0.0), 2
+        )
     out = {
         "cores": cores,
         "wall_sec": round(wall, 2),

@@ -8,6 +8,7 @@ Usage: python scripts/scale_experiment.py <changes_dir> [reps]
 import json
 import os
 import resource
+import shutil
 import subprocess
 import sys
 import time
@@ -49,6 +50,9 @@ def run_cell(changes, cores, workload):
         ).write.mode("overwrite").parquet("/dev/shm/xout")
     wall = time.monotonic() - t0
     s.stop()
+    # the shufw/sort cells leave a full payload copy in tmpfs (RAM) — freeing
+    # it here keeps headroom for later cells' spark.local.dir and canaries
+    shutil.rmtree("/dev/shm/xout", ignore_errors=True)
     time.sleep(0.5)
     cpu = resource.getrusage(resource.RUSAGE_CHILDREN)
     print(json.dumps({"wall": round(wall, 2), "jvm_cpu": round(cpu.ru_utime + cpu.ru_stime, 1)}))
@@ -62,11 +66,16 @@ def main():
     acc: dict = {}
     for rep in range(reps):
         for w, c in cells:
-            out = subprocess.run(
+            p = subprocess.run(
                 [sys.executable, __file__, "cell", changes, str(c), w],
                 capture_output=True, text=True,
-            ).stdout.strip().splitlines()[-1]
-            r = json.loads(out)
+            )
+            if p.returncode != 0 or not p.stdout.strip():
+                # surface the cell's actual failure instead of an opaque
+                # IndexError on empty stdout with stderr discarded
+                sys.stderr.write(p.stderr[-4000:])
+                raise RuntimeError(f"cell {w} c{c} failed (rc={p.returncode})")
+            r = json.loads(p.stdout.strip().splitlines()[-1])
             acc.setdefault((w, c), []).append(r)
             print(f"rep{rep} {w} c{c}: wall={r['wall']}s jvm_cpu={r['jvm_cpu']}s", flush=True)
     print("\n=== medians (wall s) ===")

@@ -29,14 +29,28 @@ def prepare(workdir, n_seed, n_events):
     from ape_dts_spark.sources.generator import PAGES_COLS, gen_pages_seed
 
     s = get_spark("gen", master="local[32]", shuffle_partitions=32)
-    if not os.path.exists(f"{workdir}/changes"):
+    # fixture keyed on (n_seed, n_events): a bare existence check would
+    # silently reuse a differently-sized stream on rerun.  meta.json is
+    # removed first / written last so a crash mid-generation can't leave a
+    # workdir that passes the check.
+    meta_p = f"{workdir}/meta.json"
+    fresh = False
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            m = json.load(f)
+        fresh = m.get("n_seed") == n_seed and m.get("n_events") == n_events
+    if not fresh:
+        if os.path.exists(meta_p):
+            os.remove(meta_p)
+        for d in ("changes", "ddl", "pages_seed_e0", "pages_seed_e1"):
+            shutil.rmtree(f"{workdir}/{d}", ignore_errors=True)
         # many files: scan-split parallelism must exceed the largest core
         # level at BOTH levels, or the scan stage caps the whole comparison
         gen_changes(s, n_events, n_seed, seed=42).repartition(128).write.parquet(
             f"{workdir}/changes"
         )
         gen_ddl_events(s, n_events).write.parquet(f"{workdir}/ddl")
-        with open(f"{workdir}/meta.json", "w") as f:
+        with open(meta_p, "w") as f:
             json.dump({"n_seed": n_seed, "n_events": n_events}, f)
     # seed pages tables built ONCE here (setup, not the measured CDC tail);
     # run cells copy the directory instead of re-extracting 10^6 seed rows
@@ -159,37 +173,18 @@ def orchestrate(workdir, n_seed, n_events):
             s += i * i % 7
         return round(n / (time.monotonic() - t0) / 1e6, 1)
 
-    def bw_canary(procs: int = 4, mb_each: int = 256) -> float:
-        """PARALLEL write-bandwidth canary (GB/s aggregate, tmpfs).
-
-        The host throttles *aggregate parallel memory-write* bandwidth in
-        multi-minute windows (measured 2026-08-17: the same raw 16-proc
-        write test gave 6.8 GB/s, then 12.6 GB/s 40 min later, CPU canary
-        flat throughout; the e2e engine cell swung 7k -> 24k ev/s with
-        identical code+config).  The single-thread canary cannot see this
-        — a lone writer stays under even the throttled cap — so each cell
-        records this parallel canary too; reps landing in a throttled
-        window are identifiable and the per-level BEST is the
-        engine-attributable number."""
-        import multiprocessing as mp
-
-        def w(i, q):
-            buf = b"x" * (8 << 20)
-            t0 = time.monotonic()
-            with open(f"/dev/shm/bwcanary-{i}", "wb") as f:
-                for _ in range(mb_each // 8):
-                    f.write(buf)
-            os.remove(f"/dev/shm/bwcanary-{i}")
-            q.put(time.monotonic() - t0)
-
-        q = mp.Queue()
-        ps = [mp.Process(target=w, args=(i, q)) for i in range(procs)]
-        t0 = time.monotonic()
-        for p in ps:
-            p.start()
-        for p in ps:
-            p.join()
-        return round(procs * mb_each / 1024 / (time.monotonic() - t0), 2)
+    # PARALLEL write-bandwidth canary (GB/s aggregate, tmpfs): the host
+    # throttles aggregate parallel memory-write bandwidth in multi-minute
+    # windows (measured 2026-08-17: the same raw 16-proc write test gave
+    # 6.8 GB/s, then 12.6 GB/s 40 min later, CPU canary flat throughout).
+    # The single-thread canary cannot see this — a lone writer stays under
+    # even the throttled cap — so each cell records this parallel canary
+    # too; reps landing in a throttled window are identifiable and the
+    # per-level BEST is the engine-attributable number.  ONE spelling,
+    # shared with the bench: a local copy had already dropped the OSError
+    # guard and the result-queue drain (a full /dev/shm then reports a huge
+    # bogus bandwidth — the exact opposite of the signal).
+    from bench import write_bw_canary as bw_canary
 
     results: dict = {}
     all_runs: dict = {}

@@ -61,11 +61,17 @@ def main(changes, n):
         for cores in (4, 16):
             e = dict(os.environ)
             e.update(env)
-            out = subprocess.run(
+            p = subprocess.run(
                 [sys.executable, __file__, "cell", changes, str(cores), str(n)],
                 capture_output=True, text=True, env=e,
-            ).stdout.strip().splitlines()
-            r = json.loads(out[-1]) if out else {}
+            )
+            out = p.stdout.strip().splitlines()
+            if p.returncode != 0 or not out:
+                # a dead cell must surface its traceback, not print
+                # "None docs/s" and silently hole the A/B matrix
+                sys.stderr.write(p.stderr[-4000:])
+                raise RuntimeError(f"cell {name} c{cores} failed (rc={p.returncode})")
+            r = json.loads(out[-1])
             print(f"{name} c{cores}: {r.get('docs_per_sec')} docs/s ({r.get('wall')}s)",
                   flush=True)
 

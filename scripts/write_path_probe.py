@@ -44,66 +44,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_ROWS = 200_000
-BUCKETS = 32
+# payload builder and the shuffle/arrow writers are arrow_write_probe's —
+# ONE spelling, so a writer fix (e.g. dropping _bucket from the written
+# files) applies to the r3 and r4 artifacts alike instead of silently
+# measuring two drifted variants
+from arrow_write_probe import (  # noqa: E402
+    BUCKETS,
+    build_payload,
+    run_arrow,
+    run_jvm as run_shuffle,
+)
+
 VARIANTS = ("shuffle", "noshuffle", "arrow")
 CORE_LEVELS = (4, 16)
-
-
-def build_payload(spark):
-    from pyspark.sql import functions as F
-
-    from ape_dts_spark.sources.generator import gen_pages_seed
-
-    df = gen_pages_seed(spark, N_ROWS, seed=3).select(
-        "url", "warc_ts", "html", "lang", F.lit(0).cast("long").alias("last_lsn")
-    )
-    return df.withColumn(
-        "_bucket", F.pmod(F.xxhash64("url"), F.lit(BUCKETS)).cast("int")
-    )
-
-
-def run_shuffle(df, out_dir: str) -> None:
-    (
-        df.repartition(BUCKETS, "_bucket")
-        .write.mode("overwrite")
-        .partitionBy("_bucket")
-        .parquet(out_dir)
-    )
 
 
 def run_noshuffle(df, out_dir: str) -> None:
     # no Exchange: payload bytes go scan -> (local sort on _bucket) -> file
     df.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
-
-
-def run_arrow(df, out_dir: str) -> None:
-    os.makedirs(out_dir, exist_ok=True)
-
-    def write_parts(batches):
-        import uuid as _uuid
-
-        import pandas as pd
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        tables = [pa.Table.from_pandas(b, preserve_index=False) for b in batches]
-        if tables:
-            t = pa.concat_tables(tables)
-            path = os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.parquet")
-            pq.write_table(t, path, compression="zstd")
-            yield pd.DataFrame({"rows": [t.num_rows]})
-        else:
-            yield pd.DataFrame({"rows": [0]})
-
-    n = (
-        df.repartition(BUCKETS, "_bucket")
-        .mapInPandas(write_parts, "rows long")
-        .groupBy()
-        .sum("rows")
-        .collect()[0][0]
-    )
-    assert n == N_ROWS, f"arrow writer lost rows: {n} != {N_ROWS}"
 
 
 RUNNERS = {"shuffle": run_shuffle, "noshuffle": run_noshuffle, "arrow": run_arrow}
