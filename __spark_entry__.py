@@ -441,16 +441,17 @@ def q_dedup_keep_first(spark, sf_dir):
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates: shingle -> one md5 -> 8 integer
     universal-hash minhashes -> 4 bands -> capped bucket self-join
-    (sub-quadratic; identical docs always collide; megabuckets dropped)."""
+    (sub-quadratic; identical docs always collide; megabuckets dropped).
+    Signatures use the fused zero-shuffle path (transform + array_min per
+    doc) — bit-for-bit equal to the explode->groupBy formulation the SQL
+    oracle mirrors (equivalence pinned by test_fused_minhash_equivalence)."""
     from ape_dts_spark.operators.text_dedup import (
         lsh_candidate_pairs,
-        minhash_signatures,
-        word_shingles,
+        minhash_signatures_fused,
     )
 
     docs = _docs_with_dups(spark, sf_dir)
-    sh = word_shingles(docs, "doc_id", "text", k=5)
-    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    sig = minhash_signatures_fused(docs, "doc_id", "text", k=5, num_hashes=8)
     return lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4, max_bucket=64)
 
 
@@ -612,13 +613,11 @@ def q_dedup_clusters(spark, sf_dir):
     )
     from ape_dts_spark.operators.text_dedup import (
         lsh_candidate_pairs,
-        minhash_signatures,
-        word_shingles,
+        minhash_signatures_fused,
     )
 
     docs = _docs_with_dups(spark, sf_dir)
-    sh = word_shingles(docs, "doc_id", "text", k=5)
-    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    sig = minhash_signatures_fused(docs, "doc_id", "text", k=5, num_hashes=8)
     pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4, max_bucket=64)
     comp = connected_components(pairs)
     keep = cluster_keep_list(comp)

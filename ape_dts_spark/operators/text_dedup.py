@@ -89,19 +89,23 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def word_shingles(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document (JVM-side: split + transform + explode)."""
-    words = _norm_words(F.col(text_col))
+def _shingle_array(text_col, k: int):
+    """Distinct non-empty k-word shingles of a text column, as an array
+    expression (no explode) — shared by the row-per-shingle and the fused
+    per-doc paths so both produce identical shingle sets."""
+    words = _norm_words(text_col)
     n = F.size(words)
     idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingle_at = F.transform(
-        idxs, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
-    )
+    shingle_at = F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    return F.filter(F.array_distinct(shingle_at), lambda s: F.length(s) > 0)
+
+
+def word_shingles(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document (JVM-side: split + transform + explode)."""
     return (
         _spread(docs)
-        .select(F.col(id_col), F.array_distinct(shingle_at).alias("shingles"))
+        .select(F.col(id_col), _shingle_array(F.col(text_col), k).alias("shingles"))
         .select(F.col(id_col), F.explode("shingles").alias("shingle"))
-        .filter(F.length("shingle") > 0)
     )
 
 
@@ -143,6 +147,46 @@ def minhash_signatures(
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_signatures_fused(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-doc minhash signatures with ZERO shuffle.
+
+    Bit-for-bit identical to
+    ``minhash_signatures(word_shingles(docs, id_col, text_col, k), ...)``
+    but the shingling, base hash and per-permutation min all happen inside
+    ONE narrow projection over the scan (higher-order array functions:
+    transform + array_min), so no (doc, shingle) row ever crosses the wire.
+    The explode -> groupBy(doc_id) path shuffles every shingle row — at
+    10^10 docs x ~10^2 shingles that is the dominant cost of LSH dedup;
+    here the per-doc state never leaves its input partition.  Docs with no
+    non-empty shingle produce no signature row (matching the groupBy path,
+    where they have no rows to aggregate).
+    """
+    a, b = minhash_params(num_hashes)
+    base = F.transform(
+        _shingle_array(F.col(text_col), k),
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+            F.lit(MINHASH_PRIME),
+        ),
+    )
+    xs = _spread(docs).select(F.col(id_col), base.alias("_xs")).filter(F.size("_xs") > 0)
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("_xs"), lambda x: (F.lit(a[i]) * x + F.lit(b[i])) % F.lit(MINHASH_PRIME)
+            )
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return xs.select(F.col(id_col), *mins)
 
 
 def lsh_candidate_pairs(

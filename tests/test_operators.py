@@ -147,6 +147,28 @@ def test_text_dedup_finds_planted_duplicates(spark):
         assert (i, i + 1000) in nd
 
 
+def test_fused_minhash_equivalence(spark):
+    """minhash_signatures_fused must be bit-for-bit equal to the explode ->
+    groupBy path (which the driver's SQL oracle mirrors), including edge
+    docs: empty text, whitespace-only, and shorter-than-k texts."""
+    from ape_dts_spark.operators.text_dedup import minhash_signatures_fused
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(9001, ""), (9002, "   "), (9003, "one"), (9004, "two words")],
+        "doc_id long, text string",
+    )
+    all_docs = docs.unionByName(edge)
+    for k, num in ((5, 8), (3, 16)):
+        old = minhash_signatures(word_shingles(all_docs, "doc_id", "text", k=k), "doc_id", num)
+        new = minhash_signatures_fused(all_docs, "doc_id", "text", k=k, num_hashes=num)
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+    # empty/whitespace docs yield no signature row on either path
+    ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert 9001 not in ids and 9002 not in ids and 9003 in ids
+
+
 def test_text_analysis_shapes(spark):
     docs = spark.createDataFrame(
         [(1, "the quick brown fox and the lazy dog"), (2, "xyzzy! plugh?"), (3, "")],
