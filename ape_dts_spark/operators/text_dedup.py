@@ -325,6 +325,46 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return agg.select(F.col(id_col), half(32).alias("fp_hi"), half(0).alias("fp_lo"))
 
 
+def simhash_fused(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """simhash() with ZERO shuffle: one md5 digest per distinct word inside
+    a narrow projection, then each of the 64 bit-votes as
+    ``2*count(bit set) - n_words`` over the digest array (filter + size) —
+    no (doc, word) row ever leaves its partition.  Bit-for-bit identical
+    fingerprints to the explode -> groupBy path (the vote for bit b is
+    (+1 per set) + (-1 per unset) = 2*set - n); docs with no non-empty word
+    produce no row on either path.  Equivalence pinned by
+    test_fused_simhash_equivalence."""
+    words_arr = F.filter(
+        F.array_distinct(_norm_words(F.col(text_col))), lambda w: F.length(w) > 0
+    )
+    digs = F.transform(words_arr, lambda w: F.substring(F.md5(w), 1, 16))
+    d = _spread(docs).select(F.col(id_col), digs.alias("_d")).filter(F.size("_d") > 0)
+    n = F.size(F.col("_d"))
+
+    def vote(b: int):
+        j, shift = b // 4, b % 4
+        setc = F.size(
+            F.filter(
+                F.col("_d"),
+                lambda x: F.shiftright(
+                    F.conv(F.substring(x, j + 1, 1), 16, 10).cast("int"), shift
+                ).bitwiseAND(F.lit(1))
+                == 1,
+            )
+        )
+        return F.lit(2) * setc - n
+
+    def half(off: int):
+        e = F.lit(0).cast("long")
+        for k in range(32):
+            e = e + F.when(vote(off + k) > 0, F.lit(1 << k).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return e
+
+    return d.select(F.col(id_col), half(32).alias("fp_hi"), half(0).alias("fp_lo"))
+
+
 def simhash_near_dups(
     fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:

@@ -169,6 +169,25 @@ def test_fused_minhash_equivalence(spark):
     assert 9001 not in ids and 9002 not in ids and 9003 in ids
 
 
+def test_fused_simhash_equivalence(spark):
+    """simhash_fused must be bit-for-bit equal to the explode -> groupBy
+    simhash (which the driver's SQL oracle mirrors), incl. edge docs."""
+    from ape_dts_spark.operators.text_dedup import simhash_fused
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(9001, ""), (9002, "   "), (9003, "one"), (9004, "a b a b")],
+        "doc_id long, text string",
+    )
+    all_docs = docs.unionByName(edge)
+    old = simhash(all_docs)
+    new = simhash_fused(all_docs)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert 9001 not in ids and 9002 not in ids and 9003 in ids and 9004 in ids
+
+
 def test_text_analysis_shapes(spark):
     docs = spark.createDataFrame(
         [(1, "the quick brown fox and the lazy dog"), (2, "xyzzy! plugh?"), (3, "")],
