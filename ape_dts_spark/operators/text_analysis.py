@@ -163,10 +163,14 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     - top_word_frac: share of the single most frequent word
     - dup_bigram_frac: share of bigram occurrences that are repeats
 
-    ttr and dup_bigram_frac are pure array expressions (size vs
-    size∘array_distinct) — zero shuffle, whole-stage codegen.  top_word_frac
-    needs a per-(doc, word) count: one explode + two aggs, partitioned by
-    doc_id so it scales linearly with the corpus (no global state).
+    All three signals are pure array expressions — zero shuffle, whole-
+    stage codegen.  ttr and dup_bigram_frac are size vs size∘array_distinct;
+    top_word_frac is the longest equal-run of the SORTED word array
+    (array_sort + aggregate, O(n log n) per doc) — equal to the max
+    per-word count without the explode -> groupBy(doc, word) ->
+    groupBy(doc) -> join-back chain, whose three shuffles moved every
+    (doc, word) row.  Docs with no non-empty word produce no row (matching
+    the old inner join against the exploded counts).
     """
     words = F.filter(_words(F.col(text_col)), lambda w: F.length(w) > 0)
     n = F.size(words)
@@ -174,26 +178,37 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
     )
+    # longest equal-run over the sorted array == max count of any word;
+    # prev="" can never match a real word (empty words are filtered out)
+    def _run(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    top_count = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        _run,
+        lambda acc: acc["best"],
+    )
     base = _spread(docs).select(
         F.col(id_col),
-        words.alias("_w"),
         n.alias("_n"),
         F.size(F.array_distinct(words)).alias("_types"),
         F.size(bigrams).alias("_nb"),
         F.size(F.array_distinct(bigrams)).alias("_db"),
-    )
-    top = (
-        base.select(F.col(id_col), F.explode("_w").alias("word"))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("_top"))
+        top_count.alias("_top"),
     )
     # All three ratios are integer/integer: round in exact integer space
     # (_round4_div) — round() on the double quotient diverges across engines
     # at representation boundaries (the reproduced skew_ratio failure class).
     return (
-        base.join(top, id_col)
+        base.filter(F.col("_n") > 0)
         .select(
             F.col(id_col),
             F.col("_n").cast("long").alias("n_words"),

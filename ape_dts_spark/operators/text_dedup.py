@@ -259,7 +259,13 @@ def ngram_jaccard_pairs(
     desired behavior for near-dup mining.  Set None for exact.
     """
     sh = word_shingles(docs, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    # set sizes fused per doc (size of the distinct-shingle array) — same
+    # value as counting sh's rows per doc, without that groupBy's shuffle
+    sizes = (
+        _spread(docs)
+        .select(F.col(id_col), F.size(_shingle_array(F.col(text_col), k)).alias("n"))
+        .filter(F.col("n") > 0)
+    )
     if max_doc_freq is not None:
         wdf = Window.partitionBy("shingle")
         sh = (
