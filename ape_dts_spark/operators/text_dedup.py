@@ -417,3 +417,73 @@ def simhash_near_dups(
     return pairs.select("a", "b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Train/eval contamination report: for each eval doc, the fraction of
+    its distinct k-word shingles that appear ANYWHERE in the training
+    corpus (the GPT-3/PaLM-style n-gram decontamination check).
+
+    Output: (doc_id, n_shingles, n_matched, overlap_frac, contaminated)
+    one row per eval doc with at least one shingle; `contaminated` =
+    overlap_frac >= threshold.  overlap_frac is rounded in exact integer
+    space (round-half-up on the true rational) so any SQL engine
+    reproduces it bit-for-bit.
+
+    Scale shape: the train side reduces to its DISTINCT shingle set
+    (vocabulary-bounded, one partial-agg shuffle), the eval side is a
+    LEFT SEMI-shaped membership join on the shingle hash — no (train_doc,
+    eval_doc) pair is ever materialized, so this is linear in corpus size,
+    not quadratic like pairwise jaccard.  ``max_doc_freq`` (on the TRAIN
+    side, per-shingle doc frequency) drops boilerplate shingles that occur
+    in more than that many train docs before the membership join — they
+    carry no contamination signal and their eval fan-in is a hot-key skew
+    hazard; the drop makes overlap_frac a deterministic LOWER BOUND, the
+    conservative direction for a keep/drop decision on eval integrity.
+    Set None for the exact check.
+    """
+    train_sh = word_shingles(train, id_col, text_col, k)
+    if max_doc_freq is not None:
+        wdf = Window.partitionBy("shingle")
+        train_sh = (
+            train_sh.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    train_vocab = train_sh.select("shingle").distinct()
+    eval_sh = word_shingles(evalset, id_col, text_col, k)
+    sizes = (
+        _spread(evalset)
+        .select(F.col(id_col), F.size(_shingle_array(F.col(text_col), k)).alias("n_shingles"))
+        .filter(F.col("n_shingles") > 0)
+    )
+    matched = (
+        eval_sh.join(train_vocab, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    frac = (
+        F.expr(
+            "(CAST(20000 AS DECIMAL(38,0)) * n_matched + n_shingles) div (2 * n_shingles)"
+        )
+        / 10000.0
+    )
+    return (
+        sizes.join(matched, id_col, "left")
+        .na.fill({"n_matched": 0})
+        .select(
+            F.col(id_col),
+            F.col("n_shingles"),
+            F.col("n_matched"),
+            frac.alias("overlap_frac"),
+            (frac >= F.lit(threshold)).alias("contaminated"),
+        )
+    )

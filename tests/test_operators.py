@@ -169,6 +169,35 @@ def test_fused_minhash_equivalence(spark):
     assert 9001 not in ids and 9002 not in ids and 9003 in ids
 
 
+def test_decontaminate_flags_planted_overlap(spark):
+    """Verbatim copies of train docs -> overlap 1.0; alien text -> 0.0;
+    half-spliced text -> strictly between, flagged by threshold."""
+    from ape_dts_spark.operators.text_dedup import decontaminate
+
+    train = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    rows = train.orderBy("doc_id").limit(2).collect()
+    t0, t1 = rows[0]["text"], rows[1]["text"]
+    spliced = " ".join(t0.split()[:40]) + " zq" + " xk".join(str(i) for i in range(40))
+    evalset = spark.createDataFrame(
+        [
+            (1, t0),  # verbatim copy
+            (2, "zz" + " qq".join(str(i) for i in range(50))),  # alien
+            (3, spliced),  # partial copy
+            (4, t1),  # verbatim copy
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r for r in decontaminate(train, evalset, k=3, threshold=0.5).collect()}
+    assert rep[1]["overlap_frac"] == 1.0 and rep[1]["contaminated"]
+    assert rep[4]["overlap_frac"] == 1.0 and rep[4]["contaminated"]
+    assert rep[2]["overlap_frac"] == 0.0 and not rep[2]["contaminated"]
+    assert 0.0 < rep[3]["overlap_frac"] < 1.0
+    # n_matched never exceeds n_shingles; every eval doc got a row
+    for r in rep.values():
+        assert 0 <= r["n_matched"] <= r["n_shingles"]
+    assert set(rep) == {1, 2, 3, 4}
+
+
 def test_fused_simhash_equivalence(spark):
     """simhash_fused must be bit-for-bit equal to the explode -> groupBy
     simhash (which the driver's SQL oracle mirrors), incl. edge docs."""
