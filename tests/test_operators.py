@@ -169,6 +169,33 @@ def test_fused_minhash_equivalence(spark):
     assert 9001 not in ids and 9002 not in ids and 9003 in ids
 
 
+def test_fused_paths_have_zero_exchange(spark):
+    """The fused signature/fingerprint/repetition plans must contain NO
+    Exchange — that structural property (no exploded per-shingle/per-word
+    row crosses the wire) is the entire point of the fusion; pin it so a
+    refactor can't silently reintroduce the shuffle.  The docs scan itself
+    may carry the _spread repartition, so measure against a pre-spread
+    baseline: fused plan exchanges == baseline exchanges."""
+    from ape_dts_spark.operators.text_analysis import repetition_stats
+    from ape_dts_spark.operators.text_dedup import (
+        minhash_signatures_fused,
+        simhash_fused,
+    )
+    from ape_dts_spark.plans.inspect import exchange_count
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    base = exchange_count(docs.select("doc_id"))
+    # _spread may add one round-robin repartition on a small scan; anything
+    # beyond base+1 means a real hash shuffle crept back in
+    allowed = base + 1
+    assert exchange_count(minhash_signatures_fused(docs, num_hashes=8)) <= allowed
+    assert exchange_count(simhash_fused(docs)) <= allowed
+    assert exchange_count(repetition_stats(docs)) <= allowed
+    # the explode->groupBy formulation costs a hash Exchange on top
+    sig_old = minhash_signatures(word_shingles(docs, "doc_id", "text", k=3), "doc_id", 8)
+    assert exchange_count(sig_old) > allowed - 1
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     """Verbatim copies of train docs -> overlap 1.0; alien text -> 0.0;
     half-spliced text -> strictly between, flagged by threshold."""
