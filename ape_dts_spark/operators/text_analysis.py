@@ -287,3 +287,41 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.md5(F.trim(norm)).alias("digest_norm"),
         F.md5(head).alias("digest_head"),
     )
+
+
+def deterministic_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Assign each doc to a named split (train/val/test/...) purely as a
+    function of its id — reproducible across runs, cluster sizes, and
+    engines (md5-based like the dedup family, no RNG state).  Zero shuffle:
+    one projection.  ``weights`` are relative (normalized internally);
+    boundaries are exact integers out of 1e6 so the assignment is stable
+    even for pathological float weights.  Changing ``seed`` re-deals the
+    whole assignment; adding docs never moves existing ones between splits.
+    """
+    if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be a non-empty dict of non-negative values, sum > 0")
+    total = float(sum(weights.values()))
+    slot = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    # exact integer boundaries; the LAST split absorbs the rounding remainder
+    names = list(weights)
+    bounds, acc = [], 0
+    for name in names[:-1]:
+        acc += int(round(1_000_000 * weights[name] / total))
+        bounds.append(acc)
+    expr = F.lit(names[-1])
+    for name, b in zip(reversed(names[:-1]), reversed(bounds)):
+        expr = F.when(slot < b, F.lit(name)).otherwise(expr)
+    # nested whens evaluate in ascending-bound order: first match wins
+    return docs.withColumn("split", expr)

@@ -26,7 +26,7 @@ done: both change meaning on real servers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # '#' must terminate the authority too: url_host runs on the RAW url (only
@@ -128,4 +128,46 @@ def canonicalize_urls(
         canonicalize_url(F.col(url_col)).alias("url_canonical"),
         url_host(F.col(url_col)).alias("host"),
         registered_domain(F.col(url_col)).alias("domain"),
+    )
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    salt: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per registered domain — the standard
+    web-corpus per-domain quota (stops boilerplate-heavy megadomains from
+    dominating a training mix).  Selection is deterministic: the kept docs
+    are the cap-lowest by (xxhash64(url), id) within the domain, so reruns
+    and different cluster sizes keep the SAME documents.
+
+    Scale shape: a single window over the hot axis would funnel a megadomain
+    (10^8 rows of one domain at crawl scale) into ONE task.  Instead the cap
+    runs in two phases: phase 1 ranks within (domain, salt-lane) — ``salt``
+    parallel lanes per domain, each lane keeps its cap-lowest — bounding
+    survivors to salt*cap per domain with per-lane parallelism; phase 2
+    ranks the bounded survivors exactly.  Phase 2's window partitions carry
+    at most salt*cap rows each BY CONSTRUCTION, so no task ever sees more
+    than that regardless of domain skew.  Output = input columns.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    dom = registered_domain(F.col(url_col))
+    rank_key = [F.xxhash64(F.col(url_col)).asc(), F.col(id_col).asc()]
+    lane = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
+    w1 = Window.partitionBy("_dom", "_lane").orderBy(*rank_key)
+    survivors = (
+        docs.withColumn("_dom", dom)
+        .withColumn("_lane", lane)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+    )
+    w2 = Window.partitionBy("_dom").orderBy(*rank_key)
+    return (
+        survivors.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= cap)
+        .drop("_dom", "_lane", "_r1", "_r2")
     )

@@ -196,6 +196,63 @@ def test_fused_paths_have_zero_exchange(spark):
     assert exchange_count(sig_old) > allowed - 1
 
 
+def test_domain_cap_quota_and_determinism(spark):
+    """Per-domain quota: at most cap docs per registered domain, kept set
+    identical across salt settings (the two-phase salted ranking must
+    select exactly the same docs as a single exact window)."""
+    from ape_dts_spark.operators.url_tools import domain_cap
+
+    rows = [
+        (i, f"https://pile.example.com/p{i}") for i in range(40)
+    ] + [
+        (100 + i, f"https://sub{i}.news.co.uk/a") for i in range(7)
+    ] + [
+        (200, "https://lone.org/x")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    capped = domain_cap(docs, cap=5, salt=4)
+    got = capped.groupBy(
+        F.expr("doc_id >= 100 and doc_id < 200").alias("is_uk"),
+        F.expr("doc_id = 200").alias("is_lone"),
+    ).count().collect()
+    by = {(r["is_uk"], r["is_lone"]): r["count"] for r in got}
+    assert by[(False, False)] == 5  # example.com capped 40 -> 5
+    assert by[(True, False)] == 5  # news.co.uk capped 7 -> 5 (PSL groups subs)
+    assert by[(False, True)] == 1  # under-cap domain untouched
+    assert set(capped.columns) == {"doc_id", "url"}
+    # same kept set regardless of salt lanes; salt=1 is the exact single window
+    ids_s4 = {r["doc_id"] for r in capped.select("doc_id").collect()}
+    ids_s1 = {r["doc_id"] for r in domain_cap(docs, cap=5, salt=1).select("doc_id").collect()}
+    ids_s16 = {r["doc_id"] for r in domain_cap(docs, cap=5, salt=16).select("doc_id").collect()}
+    assert ids_s4 == ids_s1 == ids_s16
+
+
+def test_deterministic_split_stability_and_proportions(spark):
+    from ape_dts_spark.operators.text_analysis import deterministic_split
+
+    docs = spark.range(0, 20000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = deterministic_split(docs, w)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    # stable: same assignment on re-run and on a subset (adding docs never
+    # moves existing ones)
+    a = dict((r["doc_id"], r["split"]) for r in out.collect())
+    sub = deterministic_split(docs.filter("doc_id < 1000"), w)
+    for r in sub.collect():
+        assert a[r["doc_id"]] == r["split"]
+    # different seed re-deals
+    b = dict(
+        (r["doc_id"], r["split"])
+        for r in deterministic_split(docs, w, seed="v2").collect()
+    )
+    assert any(a[i] != b[i] for i in a)
+    with pytest.raises(ValueError):
+        deterministic_split(docs, {})
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     """Verbatim copies of train docs -> overlap 1.0; alien text -> 0.0;
     half-spliced text -> strictly between, flagged by threshold."""
