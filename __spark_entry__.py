@@ -1240,7 +1240,7 @@ def _url_canonicalize_oracle_sql() -> str:
           FROM c1
         )
         SELECT doc_id,
-               regexp_replace(regexp_replace(u2, '\\?$', ''),
+               regexp_replace(regexp_replace(u2, '^([^?]*)\\?$', '\\1'),
                               '^([a-z][a-z0-9+.-]*://[^/?]+)/$', '\\1') AS url_canonical,
                host,
                {registered_domain_sql("host")} AS domain

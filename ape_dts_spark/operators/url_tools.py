@@ -18,7 +18,8 @@ Canonical form (documented, deliberately conservative):
   3. lowercase the `scheme://authority` prefix (path/query stay case-sensitive)
   4. strip explicit DEFAULT ports only (`http://h:80` -> `http://h`,
      `https://h:443` -> `https://h`; `http://h:443` is NOT default, kept)
-  5. drop a bare trailing `?`
+  5. drop a bare trailing `?` (only when it is the url's sole `?`; a
+     trailing `?` that ends a non-empty query string is data and stays)
   6. drop the root-path trailing slash (`https://h/` -> `https://h`)
 Duplicate-slash collapsing and query-param reordering are intentionally NOT
 done: both change meaning on real servers.
@@ -45,7 +46,12 @@ def canonicalize_url(url_col):
     auth = F.regexp_replace(auth, r"^(http://[^/:]+):80$", "$1")
     auth = F.regexp_replace(auth, r"^(https://[^/:]+):443$", "$1")
     out = F.concat(auth, rest)
-    out = F.regexp_replace(out, r"\?$", "")
+    # strip the trailing '?' only when it is the url's ONLY '?' (a bare
+    # query separator).  A bare `\?$` is not idempotent: '/p??' (path /p,
+    # query '?') would lose one '?' per pass, so re-canonicalizing an
+    # already-canonical url would keep changing the merge key (found by
+    # the hypothesis fixed-point property, tests/test_properties.py).
+    out = F.regexp_replace(out, r"^([^?]*)\?$", "$1")
     return F.regexp_replace(out, r"^([a-z][a-z0-9+.-]*://[^/?]+)/$", "$1")
 
 

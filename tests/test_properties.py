@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the engine's portability contracts.
+
+These pin the *algebraic* properties the rest of the suite checks only on
+fixtures: scalar/vector extraction agreement, URL canonicalization
+idempotence, and exact-integer rounding equal to true rational
+round-half-up.  Deterministic profile: fixed seeds via derandomize, no
+deadline (Spark warmup skews wall time).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ape_dts_spark.functions.extract_text import extract_text, extract_text_series
+
+PROP = settings(
+    max_examples=50,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# HTML-ish soup: tags, entities, text, whitespace — stress the regex chain
+_html_atom = st.sampled_from(
+    [
+        "<p>", "</p>", "<div class='x'>", "</div>", "<script>var x=1;</script>",
+        "<!-- c -->", "<br/>", "&amp;", "&lt;", "&nbsp;", "&#39;", "plain",
+        "words here", "\n", "\t", "  ", "<span>", "</span>", "<b", ">", "<",
+        "&", "mixed <i>inline</i> text", "<style>a{}</style>", "é ü 漢",
+    ]
+)
+_html = st.lists(_html_atom, min_size=0, max_size=30).map("".join)
+
+
+@PROP
+@given(_html.map(lambda s: [s]) | st.lists(_html, min_size=0, max_size=8))
+def test_extract_vector_equals_scalar(htmls):
+    """The vectorized Series path and the scalar oracle must agree bytewise
+    on arbitrary html soup — the engine/oracle byte-identity contract."""
+    got = extract_text_series(pd.Series(htmls, dtype="object")).tolist()
+    want = [extract_text(h) for h in htmls]
+    assert got == want
+
+
+@PROP
+@given(_html)
+def test_extract_bytes_equals_str(html):
+    """bytes input decodes utf-8 and extracts identically to str input."""
+    assert extract_text(html.encode("utf-8")) == extract_text(html)
+
+
+@given(
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=1, max_value=10**12),
+)
+@PROP
+def test_round4_div_is_true_rational_round_half_up(num, den):
+    """_round4_div's integer formula == round-half-up on the true rational
+    at 4 digits — the portability property the skew_ratio bug class broke.
+    Checked exactly (no floats): the engine's integer numerator
+    (20000*num + den) div (2*den) must equal floor(q*10^4 + 1/2) on the
+    true rational q.  Cross-engine agreement of the same formula is
+    covered by the driver oracles."""
+    import math
+
+    k = (20000 * num + den) // (2 * den)
+    q = Fraction(num, den)
+    assert k == math.floor(q * 10000 + Fraction(1, 2))
+
+
+# ---- Spark-backed properties (one DataFrame per example; cheap plans) ----
+
+_urlish = st.builds(
+    lambda scheme, host, port, path, q, frag: f"{scheme}://{host}{port}{path}{q}{frag}",
+    st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]),
+    st.sampled_from(
+        ["Example.COM", "a.b.co.uk", "x.org", "sub.domain.com.au", "h"]
+    ),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(["", "/", "/Path/To", "/p?","/p/"]),
+    st.sampled_from(["", "?", "?a=1&B=2"]),
+    st.sampled_from(["", "#frag", "#"]),
+)
+
+
+@pytest.fixture(scope="module")
+def _canon(spark):
+    from pyspark.sql import functions as F
+
+    from ape_dts_spark.operators.url_tools import canonicalize_url
+
+    def run(urls: list[str]) -> list[str]:
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [
+            r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+        ]
+
+    return run
+
+
+@settings(max_examples=25, derandomize=True, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(_urlish, min_size=1, max_size=16, unique=True))
+def test_canonicalize_idempotent(_canon, urls):
+    """canonicalize(canonicalize(u)) == canonicalize(u): the merge key must
+    be a fixed point, or re-ingesting already-canonical urls would shatter
+    page identity."""
+    once = _canon(urls)
+    twice = _canon(once)
+    assert twice == once
