@@ -24,10 +24,17 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 # Space-only separated digit pairs ('1914 1918', ID lists) and short runs
 # are NOT matched — the round-2 pattern redacted any >=9-char digit/space
 # run, which was lossy for ordinary numeric text.
+# Every alternative ends with \b: a phone number is never a PREFIX of a
+# longer digit run.  Without it, '+' + 23 digits matched only its first 14
+# and the replacement token minted a word boundary in front of the digit
+# tail, so a SECOND scrub redacted more than the first (scrubbing wasn't a
+# fixed point; found by the hypothesis idempotence property).  \b after a
+# digit behaves identically in Java regex and RE2, so the cross-engine
+# contract is unchanged.
 PHONE_RE = (
-    r"\+[0-9]{1,3}[ .-]?\(?[0-9]{1,4}\)?([ .-][0-9]{2,5}){1,4}"
-    r"|\+[0-9]{8,14}"
-    r"|\(?[0-9]{3,4}\)?[.-][0-9]{3,4}[.-][0-9]{3,5}"
+    r"\+[0-9]{1,3}[ .-]?\(?[0-9]{1,4}\)?([ .-][0-9]{2,5}){1,4}\b"
+    r"|\+[0-9]{8,14}\b"
+    r"|\(?[0-9]{3,4}\)?[.-][0-9]{3,4}[.-][0-9]{3,5}\b"
     r"|\b[0-9]{9,12}\b"
 )
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"

@@ -113,3 +113,35 @@ def test_canonicalize_idempotent(_canon, urls):
     once = _canon(urls)
     twice = _canon(once)
     assert twice == once
+
+
+_pii_atom = st.sampled_from(
+    [
+        "1", "23", "456", "7890", ".", " ", "-", "+", "(", ")", "@", "a",
+        "bc.de", "x.com", ".com", "192.168.1.1", "@b.co", "<", ">", "\n",
+        "000000000", "call +1 (555) 123-4567", "id 123456789",
+    ]
+)
+
+
+@PROP
+@given(st.lists(_pii_atom, min_size=0, max_size=12).map("".join))
+def test_pii_scrub_idempotent(text):
+    """scrub(scrub(x)) == scrub(x): replacement tokens must not mint new
+    matches (e.g. a word boundary in front of a digit tail).  Checked with
+    Python re over the SAME literals the Column chain and the DuckDB oracle
+    run — all three engines agree on these RE2-safe patterns, which the
+    driver oracle pins end-to-end.  This property caught PHONE_RE matching
+    a 14-digit prefix of longer runs (fixed with trailing \\b)."""
+    import re
+
+    from ape_dts_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    def scrub(t: str) -> str:
+        t = re.sub(EMAIL_RE, "<EMAIL>", t)
+        t = re.sub(IPV4_RE, "<IP>", t)
+        t = re.sub(PHONE_RE, "<PHONE>", t)
+        return t
+
+    once = scrub(text)
+    assert scrub(once) == once
