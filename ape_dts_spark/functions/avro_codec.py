@@ -60,14 +60,33 @@ def decode_long(buf: bytes, pos: int) -> tuple[int, int]:
     shift = 0
     u = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError(f"truncated varint at {pos}")
         b = buf[pos]
         pos += 1
         u |= (b & 0x7F) << shift
         if not b & 0x80:
             break
         shift += 7
+        if shift > 63:
+            # an int64 zig-zag varint is at most 10 bytes; a longer run of
+            # continuation bits is a corrupt frame, not a bigger number
+            raise ValueError(f"varint longer than int64 at {pos}")
     n = (u >> 1) ^ -(u & 1)
     return n, pos
+
+
+def _checked_len(n: int, buf: bytes, pos: int, what: str) -> None:
+    """Corrupt-frame guards for length-prefixed slices: a NEGATIVE length
+    would move the parse position BACKWARD (buf[pos:pos+n] silently returns
+    '' and pos+n regresses — a crafted frame can loop the block parsers on
+    that), and an oversized one would silently truncate into a plausible-
+    looking garbage value.  Fail loudly instead (found by the hypothesis
+    corrupt-frame fuzz property)."""
+    if n < 0:
+        raise ValueError(f"negative {what} length {n} at {pos}")
+    if pos + n > len(buf):
+        raise ValueError(f"{what} length {n} overruns buffer at {pos}")
 
 
 def encode_string(s: str, out: bytearray) -> None:
@@ -78,6 +97,7 @@ def encode_string(s: str, out: bytearray) -> None:
 
 def decode_string(buf: bytes, pos: int) -> tuple[str, int]:
     n, pos = decode_long(buf, pos)
+    _checked_len(n, buf, pos, "string")
     return buf[pos : pos + n].decode("utf-8"), pos + n
 
 
@@ -88,6 +108,7 @@ def encode_bytes(b: bytes, out: bytearray) -> None:
 
 def decode_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
     n, pos = decode_long(buf, pos)
+    _checked_len(n, buf, pos, "bytes")
     return bytes(buf[pos : pos + n]), pos + n
 
 
@@ -138,10 +159,12 @@ def _decode_union_value(buf: bytes, pos: int) -> tuple[Any, int]:
     if br == _BR_LONG:
         return decode_long(buf, pos)
     if br == _BR_DOUBLE:
+        _checked_len(8, buf, pos, "double")
         return struct.unpack("<d", buf[pos : pos + 8])[0], pos + 8
     if br == _BR_BYTES:
         return decode_bytes(buf, pos)
     if br == _BR_BOOL:
+        _checked_len(1, buf, pos, "boolean")
         return buf[pos] != 0, pos + 1
     raise ValueError(f"bad union branch {br} at {pos}")
 

@@ -145,3 +145,70 @@ def test_pii_scrub_idempotent(text):
 
     once = scrub(text)
     assert scrub(once) == once
+
+
+_avro_scalar = (
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
+    | st.floats(allow_nan=False)
+    | st.text(max_size=40)
+    | st.binary(max_size=40)
+)
+_avro_map = st.none() | st.dictionaries(st.text(max_size=12), _avro_scalar, max_size=6)
+
+
+@PROP
+@given(
+    st.text(max_size=20),
+    st.text(max_size=20),
+    st.sampled_from(["insert", "update", "delete", "ddl", ""]),
+    _avro_map,
+    _avro_map,
+    _avro_map,
+    st.none()
+    | st.lists(
+        st.tuples(st.text(max_size=10), st.text(max_size=10), st.text(max_size=10)),
+        max_size=5,
+    ),
+)
+def test_avro_record_roundtrip(schema, tb, op, before, after, extra, fields):
+    """decode(encode(r)) == r for arbitrary envelope content (unicode
+    names, every scalar union branch, empty/None maps)."""
+    from ape_dts_spark.functions.avro_codec import decode_record, encode_record
+
+    buf = encode_record(schema, tb, op, before=before, after=after, extra=extra, fields=fields)
+    got = decode_record(buf)
+    assert got["schema"] == schema and got["tb"] == tb and got["operation"] == op
+    assert got["before"] == before and got["after"] == after and got["extra"] == extra
+    want_fields = [tuple(f) for f in fields] if fields else None
+    assert got["fields"] == want_fields
+
+
+@PROP
+@given(st.binary(max_size=200))
+def test_avro_decode_rejects_garbage_loudly(blob):
+    """decode_record on arbitrary bytes must either return a record or
+    raise ValueError/UnicodeDecodeError — never hang, move the parse
+    position backward, or surface a random internal exception.  (This
+    property motivated the negative/overrun length guards: a crafted
+    negative varint length used to regress the position.)"""
+    from ape_dts_spark.functions.avro_codec import decode_record
+
+    try:
+        decode_record(blob)
+    except (ValueError, UnicodeDecodeError):
+        pass
+
+
+@PROP
+@given(st.binary(max_size=60))
+def test_avro_decode_truncation_is_loud(blob):
+    """Every strict prefix of a valid record must fail loudly (no silent
+    truncated parse): build a real record, chop it, decode."""
+    from ape_dts_spark.functions.avro_codec import decode_record, encode_record
+
+    buf = encode_record("s", "tb", "insert", after={"k": blob}, extra={"position": 7})
+    for cut in range(len(buf)):
+        with pytest.raises((ValueError, UnicodeDecodeError)):
+            decode_record(buf[:cut])
