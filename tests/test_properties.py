@@ -212,3 +212,30 @@ def test_avro_decode_truncation_is_loud(blob):
     for cut in range(len(buf)):
         with pytest.raises((ValueError, UnicodeDecodeError)):
             decode_record(buf[:cut])
+
+
+def test_registered_domain_fixed_point(spark):
+    """domain(domain(h)) == domain(h), and the domain is always a dot-suffix
+    of the host (or '' for hosts with no registrable domain) — the grouping
+    axis must be stable under re-derivation or per-domain caps would drift."""
+    from pyspark.sql import functions as F
+
+    from ape_dts_spark.operators.url_tools import registered_domain_from_host
+
+    hosts = [
+        "example.com", "www.example.com", "a.b.c.example.com", "foo.co.uk",
+        "www.foo.co.uk", "co.uk", "uk", "localhost", "news.com.au",
+        "sub.news.com.au", "district.k12.ca.us", "x.district.k12.ca.us",
+        "com", "a.blogspot.com", "h",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    out = df.select(
+        "host",
+        registered_domain_from_host(F.col("host")).alias("d1"),
+        registered_domain_from_host(
+            registered_domain_from_host(F.col("host"))
+        ).alias("d2"),
+    ).collect()
+    for r in out:
+        assert r["d2"] == r["d1"], r
+        assert r["d1"] == "" or r["host"] == r["d1"] or r["host"].endswith("." + r["d1"]), r
