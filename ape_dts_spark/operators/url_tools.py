@@ -142,7 +142,6 @@ def domain_cap(
     cap: int,
     url_col: str = "url",
     id_col: str = "doc_id",
-    salt: int = 16,
 ) -> DataFrame:
     """Keep at most ``cap`` documents per registered domain — the standard
     web-corpus per-domain quota (stops boilerplate-heavy megadomains from
@@ -150,30 +149,27 @@ def domain_cap(
     are the cap-lowest by (xxhash64(url), id) within the domain, so reruns
     and different cluster sizes keep the SAME documents.
 
-    Scale shape: a single window over the hot axis would funnel a megadomain
-    (10^8 rows of one domain at crawl scale) into ONE task.  Instead the cap
-    runs in two phases: phase 1 ranks within (domain, salt-lane) — ``salt``
-    parallel lanes per domain, each lane keeps its cap-lowest — bounding
-    survivors to salt*cap per domain with per-lane parallelism; phase 2
-    ranks the bounded survivors exactly.  Phase 2's window partitions carry
-    at most salt*cap rows each BY CONSTRUCTION, so no task ever sees more
-    than that regardless of domain skew.  Output = input columns.
+    Scale shape: this is deliberately the PLAIN window + rank filter.  A
+    megadomain does NOT funnel into one task, because Catalyst rewrites a
+    ``row_number() <= k`` filter into WindowGroupLimit with a PARTIAL pass
+    before the Exchange: every map task keeps only its own cap-lowest per
+    domain, so the post-shuffle exact pass sees at most (map tasks x cap)
+    rows per domain — the classic two-phase salted-ranking trick, done
+    natively by the optimizer with ONE shuffle.  A hand-rolled two-phase
+    variant was measured strictly slower (two shuffles for the same bound;
+    `BENCH/domain_cap_skew_r4.json`).  The plan shape (Partial+Final
+    WindowGroupLimit) is pinned by test_domain_cap_plan_uses_group_limit —
+    if a refactor breaks the rewrite, the skew guard visibly regresses.
+    Output = input columns.
     """
     if cap < 1:
         raise ValueError("cap must be >= 1")
-    dom = registered_domain(F.col(url_col))
-    rank_key = [F.xxhash64(F.col(url_col)).asc(), F.col(id_col).asc()]
-    lane = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
-    w1 = Window.partitionBy("_dom", "_lane").orderBy(*rank_key)
-    survivors = (
-        docs.withColumn("_dom", dom)
-        .withColumn("_lane", lane)
-        .withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= cap)
+    w = Window.partitionBy("_dom").orderBy(
+        F.xxhash64(F.col(url_col)).asc(), F.col(id_col).asc()
     )
-    w2 = Window.partitionBy("_dom").orderBy(*rank_key)
     return (
-        survivors.withColumn("_r2", F.row_number().over(w2))
-        .filter(F.col("_r2") <= cap)
-        .drop("_dom", "_lane", "_r1", "_r2")
+        docs.withColumn("_dom", registered_domain(F.col(url_col)))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= cap)
+        .drop("_dom", "_r")
     )

@@ -197,9 +197,8 @@ def test_fused_paths_have_zero_exchange(spark):
 
 
 def test_domain_cap_quota_and_determinism(spark):
-    """Per-domain quota: at most cap docs per registered domain, kept set
-    identical across salt settings (the two-phase salted ranking must
-    select exactly the same docs as a single exact window)."""
+    """Per-domain quota: at most cap docs per registered domain, stable
+    deterministic selection (rerun-identical)."""
     from ape_dts_spark.operators.url_tools import domain_cap
 
     rows = [
@@ -210,7 +209,7 @@ def test_domain_cap_quota_and_determinism(spark):
         (200, "https://lone.org/x")
     ]
     docs = spark.createDataFrame(rows, "doc_id long, url string")
-    capped = domain_cap(docs, cap=5, salt=4)
+    capped = domain_cap(docs, cap=5)
     got = capped.groupBy(
         F.expr("doc_id >= 100 and doc_id < 200").alias("is_uk"),
         F.expr("doc_id = 200").alias("is_lone"),
@@ -220,11 +219,26 @@ def test_domain_cap_quota_and_determinism(spark):
     assert by[(True, False)] == 5  # news.co.uk capped 7 -> 5 (PSL groups subs)
     assert by[(False, True)] == 1  # under-cap domain untouched
     assert set(capped.columns) == {"doc_id", "url"}
-    # same kept set regardless of salt lanes; salt=1 is the exact single window
-    ids_s4 = {r["doc_id"] for r in capped.select("doc_id").collect()}
-    ids_s1 = {r["doc_id"] for r in domain_cap(docs, cap=5, salt=1).select("doc_id").collect()}
-    ids_s16 = {r["doc_id"] for r in domain_cap(docs, cap=5, salt=16).select("doc_id").collect()}
-    assert ids_s4 == ids_s1 == ids_s16
+    # deterministic: identical kept set on re-evaluation
+    ids_a = {r["doc_id"] for r in capped.select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in domain_cap(docs, cap=5).select("doc_id").collect()}
+    assert ids_a == ids_b
+    with pytest.raises(ValueError):
+        domain_cap(docs, cap=0)
+
+
+def test_domain_cap_plan_uses_group_limit(spark):
+    """The skew guard IS the WindowGroupLimit rewrite: the physical plan
+    must carry the Partial (pre-shuffle, per-map-task top-cap) and Final
+    passes.  If a refactor breaks the row_number()<=k filter pattern the
+    rewrite silently vanishes and a megadomain funnels into one task —
+    fail here instead."""
+    from ape_dts_spark.operators.url_tools import domain_cap
+
+    docs = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
+    plan = domain_cap(docs, cap=10)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Partial" in plan and "Final" in plan
 
 
 def test_deterministic_split_stability_and_proportions(spark):
