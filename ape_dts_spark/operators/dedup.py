@@ -27,14 +27,23 @@ def lww_dedup(
     key_cols: list[str],
     order_col: str = "lsn",
     tiebreak_cols: list[str] | None = None,
-    two_phase: bool = True,
+    two_phase: bool = False,
     salt: int = DEFAULT_SALT,
 ) -> DataFrame:
     """Keep exactly one row per key: the one with the highest (order, tiebreak).
 
-    Two-phase mode pre-reduces within (key, salt) partitions before the final
-    per-key window — a map-side combine that bounds skew when single keys
-    receive large event bursts (hot urls at 10^10-event scale).
+    The default is the PLAIN per-key window: Catalyst rewrites the
+    ``row_number() == 1`` filter into Partial (pre-shuffle, per map task) +
+    Final WindowGroupLimit, so a hot key's burst is reduced to one candidate
+    per map task BEFORE the Exchange — the map-side combine the explicit
+    two-phase mode was built for, done natively with ONE shuffle.  Measured
+    on a 10M-event burst (one url x 5M events): plain 0.86s vs salted
+    two-phase 1.55s, identical survivors (`BENCH/lww_group_limit_ab_r4.json`;
+    plan shape pinned by test_lww_plain_plan_uses_group_limit).
+
+    ``two_phase=True`` keeps the explicit salted pre-reduce for engines or
+    plan shapes where the rewrite does not fire — it pays a second Exchange
+    for the same bound.
     """
     order_exprs = [F.col(order_col).desc()] + [F.col(c).desc() for c in (tiebreak_cols or [])]
 

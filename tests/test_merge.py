@@ -245,3 +245,14 @@ def test_equal_lsn_later_commit_wins_deterministically(spark, tmp_path):
     t.refresh().compact(spark)
     merge_into(spark, t.refresh(), _changes(spark, [("a", 7, "update", 8)]))
     assert _state(spark, t.refresh()) == {"a": (7, 8)}
+
+
+def test_lww_plain_plan_uses_group_limit(spark):
+    """The plain lww_dedup's skew guard IS the WindowGroupLimit rewrite
+    (Partial pass pre-reduces hot-key bursts before the Exchange) — pin the
+    plan shape so a refactor that breaks the row_number()==1 pattern fails
+    here instead of silently funneling a burst into one task."""
+    df = spark.createDataFrame([(1, "u", "insert")], "lsn long, url string, op string")
+    plan = lww_dedup(df, ["url"], "lsn")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Partial" in plan and "Final" in plan
