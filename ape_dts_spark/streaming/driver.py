@@ -98,8 +98,12 @@ class EngineConfig:
     # the hook.  None disables.
     transform: object | None = None
     # "bucket_aligned": dedup shares its single shuffle with the sink's
-    # bucket layout (the scale path); "two_phase": salted window dedup
-    # (kept for hot-key-burst-heavy streams where map-side pre-reduce wins)
+    # bucket layout (the scale path); "plain": per-key window whose
+    # row_number()==1 filter Catalyst rewrites to Partial+Final
+    # WindowGroupLimit (map-side hot-key pre-reduce, one Exchange);
+    # "two_phase": the explicit salted pre-reduce using `salt` (escape
+    # hatch — measured slower than the rewrite for the same bound,
+    # BENCH/lww_group_limit_ab_r4.json)
     dedup_strategy: str = "bucket_aligned"
     # write-parallelism multiplier: bucket_count x files_per_bucket concurrent
     # lanes through dedup/extract/delta-write (keys stay whole per lane; the
@@ -343,10 +347,18 @@ def prepare_changes(pages: LakeTable, df: DataFrame, cfg: "EngineConfig") -> Dat
             projected, [cfg.key_col], "lsn", BUCKET_COL, key_salt=cfg.files_per_bucket
         )
     else:
-        # plain window: WindowGroupLimit pre-reduces hot-key bursts map-side
-        # (see lww_dedup docstring; the explicit salted two-phase measured
-        # strictly slower for the same bound)
-        deduped = lww_dedup(projected, [cfg.key_col], "lsn")
+        # plain window by default: WindowGroupLimit pre-reduces hot-key
+        # bursts map-side with one Exchange (see lww_dedup docstring; the
+        # salted two-phase measured strictly slower for the same bound).
+        # dedup_strategy="two_phase" keeps the explicit salted pre-reduce
+        # as the configured escape hatch, honoring cfg.salt.
+        deduped = lww_dedup(
+            projected,
+            [cfg.key_col],
+            "lsn",
+            two_phase=cfg.dedup_strategy == "two_phase",
+            salt=cfg.salt,
+        )
     if cfg.extract_text and "html" in projected.columns:
         deduped = deduped.withColumn(
             "text",
