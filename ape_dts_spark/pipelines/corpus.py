@@ -1,0 +1,144 @@
+"""The end-to-end training-corpus pipeline, composed from the operator
+library — what a user runs AFTER the CDC engine has landed the crawl in the
+lake.
+
+One call chains the canonical web-corpus curation sequence over a
+`documents`-shaped frame:
+
+    url canonicalization -> per-domain quota -> exact dedup ->
+    near-dup removal (MinHash+LSH clusters, keep lowest id) ->
+    quality filter -> train/eval decontamination -> deterministic split
+
+Every stage is one of the library's tested operators (each individually
+oracle- or property-checked); this module only sequences them and carries
+an audit column, so the pipeline inherits the operators' scale shapes:
+no stage funnels a hot domain/key into one task, the near-dup path is the
+banded LSH (sub-quadratic), and decontamination is a vocabulary semi-join
+(linear).  The whole thing is lazily composed — ONE Spark action at the
+sink consumes it.
+
+Determinism: every stage keys its decisions on content hashes and ids, so
+the same corpus in produces byte-identical survivor sets and split labels
+across runs, partitionings, and cluster sizes — the reproducibility bar the
+engine's CDC side (byte-identical text per url) already meets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ape_dts_spark.operators.dedup_clusters import cluster_keep_list, connected_components
+from ape_dts_spark.operators.text_analysis import deterministic_split, quality_filter
+from ape_dts_spark.operators.text_dedup import (
+    dedup_exact,
+    decontaminate,
+    lsh_candidate_pairs,
+    minhash_signatures_fused,
+)
+from ape_dts_spark.operators.url_tools import canonicalize_url, domain_cap
+
+
+@dataclass
+class CorpusPipelineReport:
+    """Stage-by-stage survivor counts (one count() per stage — call
+    `corpus_pipeline(..., with_report=True)` only when auditing; the
+    counts force extra actions)."""
+
+    stages: dict[str, int] = field(default_factory=dict)
+
+
+def corpus_pipeline(
+    docs: DataFrame,
+    evalset: DataFrame | None = None,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    text_col: str = "text",
+    domain_cap_n: int | None = 100_000,
+    near_dup: bool = True,
+    shingle_k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    min_words: int = 60,
+    contamination_threshold: float = 0.5,
+    split_weights: dict[str, float] | None = None,
+    with_report: bool = False,
+) -> DataFrame | tuple[DataFrame, CorpusPipelineReport]:
+    """Curate a raw documents frame into a training corpus.
+
+    Returns the surviving rows with all input columns plus:
+      * ``url_canonical`` — the dedup/merge identity
+      * ``split``         — train/val/test label (deterministic_split)
+
+    Stages (each optional knob disables its stage):
+      1. canonicalize urls; drop rows whose canonical url duplicates an
+         earlier one (lowest id wins) — crawl re-fetch collapse
+      2. ``domain_cap_n``: per-registered-domain quota (WindowGroupLimit)
+      3. exact content dedup (lowest id per md5)
+      4. ``near_dup``: MinHash+LSH candidate pairs -> connected components
+         -> keep the lowest id per near-dup cluster
+      5. ``min_words``: C4/Gopher-style quality filter (keep==true)
+      6. ``evalset``: drop train docs contaminated against it — NOTE the
+         standard decontamination direction is to flag EVAL overlap; here
+         the conservative corpus-side action is dropping train docs whose
+         shingles cover a contaminated eval doc, approximated by running
+         decontaminate with roles swapped (train docs as the "eval" side,
+         eval shingles as the vocabulary)
+      7. split assignment (never drops rows)
+    """
+    report = CorpusPipelineReport()
+
+    def _note(name: str, df: DataFrame) -> DataFrame:
+        if with_report:
+            report.stages[name] = df.count()
+        return df
+
+    out = docs.withColumn("url_canonical", canonicalize_url(F.col(url_col)))
+    # one survivor per canonical url (re-crawls of the same page);
+    # row_number()==1 -> WindowGroupLimit, so a hot url pre-trims map-side
+    w = Window.partitionBy("url_canonical").orderBy(F.col(id_col).asc())
+    out = (
+        out.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r")
+    )
+    out = _note("url_unique", out)
+
+    if domain_cap_n is not None:
+        out = _note(
+            "domain_capped", domain_cap(out, domain_cap_n, url_col=url_col, id_col=id_col)
+        )
+
+    out = _note("exact_deduped", dedup_exact(out, id_col, text_col))
+
+    if near_dup:
+        sig = minhash_signatures_fused(
+            out, id_col, text_col, k=shingle_k, num_hashes=num_hashes
+        )
+        pairs = lsh_candidate_pairs(sig, id_col, num_hashes=num_hashes, bands=bands)
+        comp = connected_components(pairs)
+        keep = cluster_keep_list(comp)
+        drop = comp.join(keep, "cluster_id").filter(
+            F.col("doc_id") != F.col("keeper")
+        ).select(F.col("doc_id").alias(id_col))
+        out = _note("near_dup_removed", out.join(drop, id_col, "left_anti"))
+
+    if min_words:
+        keepers = quality_filter(out, id_col, text_col, min_words=min_words).filter(
+            "keep"
+        ).select(id_col)
+        out = _note("quality_kept", out.join(keepers, id_col, "left_semi"))
+
+    if evalset is not None:
+        contaminated = decontaminate(
+            evalset,  # vocabulary side: the eval shingles
+            out,  # checked side: surviving train docs
+            id_col=id_col,
+            text_col=text_col,
+            k=shingle_k,
+            threshold=contamination_threshold,
+        ).filter("contaminated").select(id_col)
+        out = _note("decontaminated", out.join(contaminated, id_col, "left_anti"))
+
+    out = deterministic_split(out, split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}, id_col)
+    return (out, report) if with_report else out

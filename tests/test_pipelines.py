@@ -1,0 +1,83 @@
+"""End-to-end corpus-curation pipeline: the operator library composed the
+way a training-data user would run it (canonicalize -> domain cap -> exact
+dedup -> near-dup clusters -> quality -> decontaminate -> split)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ape_dts_spark.pipelines import corpus_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def raw_docs(spark):
+    """sf0.001 documents + planted hazards: exact dups, a re-crawled url
+    variant, and near-dup (prefix-copy) docs."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www.example"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".com/art/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    exact = docs.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 50_000).alias("doc_id"), "url", "text"
+    )
+    # same page re-crawled under a messy url spelling
+    recrawl = docs.filter(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 60_000).alias("doc_id"),
+        F.concat(F.upper(F.substring("url", 1, 5)), F.expr("substring(url, 6)"), F.lit("#frag")).alias("url"),
+        F.concat(F.col("text"), F.lit(" trailing-fetch-noise")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(recrawl)
+
+
+def test_corpus_pipeline_end_to_end(spark, raw_docs):
+    evalset = (
+        raw_docs.filter(F.col("doc_id") == 7)
+        .select((F.col("doc_id") + 90_000).alias("doc_id"), "url", "text")
+    )
+    out, report = corpus_pipeline(
+        raw_docs,
+        evalset=evalset,
+        min_words=5,
+        domain_cap_n=10_000,
+        with_report=True,
+    )
+    rows = out.collect()
+    got_ids = {r["doc_id"] for r in rows}
+
+    # exact dups dropped (keeper = lowest id), planted copies gone
+    for planted in (50_000, 50_001, 50_002):
+        assert planted not in got_ids
+    assert {0, 1, 2} & got_ids == {0, 1, 2}
+    # the re-crawled messy-url variant of doc 5: canonical url collides ->
+    # lowest id (the original) survives
+    assert 60_005 not in got_ids and 5 in got_ids
+    # decontamination dropped the train doc whose text the eval doc copies
+    assert 7 not in got_ids
+    # audit: counts are monotone non-increasing through dropping stages
+    order = [
+        "url_unique", "domain_capped", "exact_deduped",
+        "near_dup_removed", "quality_kept", "decontaminated",
+    ]
+    counts = [report.stages[s] for s in order]
+    assert counts == sorted(counts, reverse=True)
+    # split column present, only expected labels, assignment deterministic
+    labels = {r["split"] for r in rows}
+    assert labels <= {"train", "val", "test"}
+    again = {
+        (r["doc_id"], r["split"])
+        for r in corpus_pipeline(
+            raw_docs, evalset=evalset, min_words=5, domain_cap_n=10_000
+        ).collect()
+    }
+    assert {(r["doc_id"], r["split"]) for r in rows} == again
+    # all input columns survive plus the two pipeline columns
+    assert set(out.columns) == {"doc_id", "url", "text", "url_canonical", "split"}
