@@ -325,3 +325,25 @@ def deterministic_split(
         expr = F.when(slot < b, F.lit(name)).otherwise(expr)
     # nested whens evaluate in ascending-bound order: first match wins
     return docs.withColumn("split", expr)
+
+
+def deterministic_sample(
+    docs: DataFrame, fraction: float, id_col: str = "doc_id", seed: str = "sample"
+) -> DataFrame:
+    """Reproducible Bernoulli sample: keep iff md5-hash slot < fraction.
+    Unlike DataFrame.sample, the kept set is a pure function of (id, seed)
+    — identical across runs, partitionings and cluster sizes, and a
+    SUPERSET relation holds between fractions (the f=0.1 sample is a
+    subset of the f=0.2 sample, same seed) so corpus mixes can be tuned
+    monotonically.  Zero shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    slot = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    return docs.filter(slot < F.lit(int(round(1_000_000 * fraction))))

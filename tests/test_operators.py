@@ -782,3 +782,52 @@ def test_url_host_stops_at_fragment(spark):
     }
     assert out[1].h == "example.co.uk" and out[1].d == "example.co.uk"
     assert out[2].h == "h.com" and out[3].h == "h.org"
+
+
+def test_quantize_embeddings_roundtrip_and_error_bound(spark):
+    from ape_dts_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantization_error_stats,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vec_col = [c for c in emb.columns if c in ("embedding", "emb", "vector")][0]
+    id_col = [c for c in emb.columns if c.endswith("id")][0]
+    emb = emb.select(id_col, vec_col)
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * 8)], f"{id_col} long, {vec_col} array<float>"
+    )
+    allv = emb.unionByName(zero)
+    qz = quantize_embeddings(allv, id_col, vec_col)
+    row = qz.filter(F.col(id_col) == 999_999).collect()[0]
+    assert row["scale"] == 0.0 and set(row["qvec"]) == {0}
+    # reconstruction error bounded by half a quantization step everywhere
+    stats = quantization_error_stats(allv, id_col, vec_col).collect()[0]
+    assert stats["n_vecs"] == allv.count()
+    assert stats["worst_abs_err"] <= stats["max_half_step"] + 1e-6
+    # dequantize returns float vectors of the original arity
+    rec = dequantize_embeddings(qz, id_col)
+    one = rec.join(allv, id_col).filter(F.col(id_col) != 999_999).first()
+    assert len(one["embedding"]) == len(one[vec_col])
+    # codes actually span the int8 range (not degenerate)
+    mx = qz.select(F.max(F.array_max("qvec")).alias("m")).collect()[0]["m"]
+    assert mx == 127
+
+
+def test_deterministic_sample_stability_and_monotonicity(spark):
+    from ape_dts_spark.operators.text_analysis import deterministic_sample
+
+    docs = spark.range(0, 10000).select(F.col("id").alias("doc_id"))
+    s10 = {r["doc_id"] for r in deterministic_sample(docs, 0.1).collect()}
+    s20 = {r["doc_id"] for r in deterministic_sample(docs, 0.2).collect()}
+    assert s10 == {r["doc_id"] for r in deterministic_sample(docs, 0.1).collect()}
+    assert s10 < s20  # nested samples, same seed
+    assert abs(len(s10) / 10000 - 0.1) < 0.02 and abs(len(s20) / 10000 - 0.2) < 0.02
+    assert deterministic_sample(docs, 0.0).count() == 0
+    assert deterministic_sample(docs, 1.0).count() == 10000
+    # different seed re-deals
+    other = {r["doc_id"] for r in deterministic_sample(docs, 0.1, seed="v2").collect()}
+    assert other != s10
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, 1.5)
