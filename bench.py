@@ -57,7 +57,34 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "ann_cosine_topk",
+    "corpus_pipeline",
 ]
+
+
+def q_corpus_pipeline(spark, sf_dir: str):
+    """Bench-local composed query (not on the 50-row oracle board): the
+    full corpus-curation pipeline (canonicalize -> domain cap -> exact
+    dedup -> LSH near-dup clusters -> quality -> split) over the documents
+    table with synthesized urls — measures the library composed the way a
+    training-data user runs it."""
+    from pyspark.sql import functions as F
+
+    from ape_dts_spark.pipelines import corpus_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www.example"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(".com/art/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    return corpus_pipeline(docs, min_words=5)
+
+
+_BENCH_EXTRAS = {"corpus_pipeline": q_corpus_pipeline}
 
 
 def _events_count(spark, sf_dir: str) -> int:
@@ -165,8 +192,9 @@ def run_queries(spark, sf_dir: str) -> dict:
     qs = entrymod.queries()
     out = {}
     for name in BENCH_QUERIES:
+        fn = qs.get(name) or _BENCH_EXTRAS[name]
         t0 = time.monotonic()
-        n = qs[name](spark, sf_dir).count()
+        n = fn(spark, sf_dir).count()
         out[name] = round(time.monotonic() - t0, 3)
         _ = n
     return out
