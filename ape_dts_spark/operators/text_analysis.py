@@ -289,6 +289,23 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _hash_slot(id_col: str, seed: str):
+    """Deterministic slot in [0, 1e6) from (seed, id) — md5-based like the
+    dedup family, engine-portable, no RNG state.  Shared by the split /
+    sample / mix family so their decisions compose (nested samples, stable
+    splits)."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+
+
 def deterministic_split(
     docs: DataFrame,
     weights: dict[str, float],
@@ -306,14 +323,7 @@ def deterministic_split(
     if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
         raise ValueError("weights must be a non-empty dict of non-negative values, sum > 0")
     total = float(sum(weights.values()))
-    slot = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 12),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(1_000_000),
-    )
+    slot = _hash_slot(id_col, seed)
     # exact integer boundaries; the LAST split absorbs the rounding remainder
     names = list(weights)
     bounds, acc = [], 0
@@ -338,12 +348,46 @@ def deterministic_sample(
     monotonically.  Zero shuffle."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    slot = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 12),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(1_000_000),
+    return docs.filter(
+        _hash_slot(id_col, seed) < F.lit(int(round(1_000_000 * fraction)))
     )
-    return docs.filter(slot < F.lit(int(round(1_000_000 * fraction))))
+
+
+def corpus_mix(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic weighted corpus mix: downsample each named source so
+    the OUTPUT proportions match ``weights`` as closely as the inputs
+    allow, then union (with a ``source`` label column).
+
+    The binding constraint is the scarcest source relative to its target
+    share: total = min over s of count(s) / share(s); every source is then
+    Bernoulli-sampled (deterministic_sample, per-source seed) to
+    total * share(s) of its rows.  The scarce source keeps everything, the
+    abundant ones are thinned — the standard pre-training mix recipe,
+    reproducible across runs and cluster sizes.  One count() per source is
+    the only eager work; the sampled union stays lazy.
+    """
+    if set(sources) != set(weights):
+        raise ValueError("sources and weights must carry the same names")
+    if not sources:
+        raise ValueError("at least one source required")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative, sum > 0")
+    share = {n: w / total_w for n, w in weights.items()}
+    counts = {n: df.count() for n, df in sources.items()}
+    # drop zero-weight sources entirely; they contribute no rows
+    live = [n for n in sources if share[n] > 0]
+    budget = min(counts[n] / share[n] for n in live)
+    out = None
+    for n in live:
+        frac = min(1.0, (budget * share[n]) / counts[n]) if counts[n] else 0.0
+        part = deterministic_sample(
+            sources[n], frac, id_col=id_col, seed=f"{seed}:{n}"
+        ).withColumn("source", F.lit(n))
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -831,3 +831,35 @@ def test_deterministic_sample_stability_and_monotonicity(spark):
     assert other != s10
     with pytest.raises(ValueError):
         deterministic_sample(docs, 1.5)
+
+
+def test_corpus_mix_proportions_and_determinism(spark):
+    from ape_dts_spark.operators.text_analysis import corpus_mix
+
+    web = spark.range(0, 10000).select(F.col("id").alias("doc_id"))
+    code = spark.range(20000, 21000).select(F.col("id").alias("doc_id"))
+    books = spark.range(30000, 34000).select(F.col("id").alias("doc_id"))
+    mixed = corpus_mix(
+        {"web": web, "code": code, "books": books},
+        {"web": 0.7, "code": 0.1, "books": 0.2},
+    )
+    counts = {r["source"]: r["count"] for r in mixed.groupBy("source").count().collect()}
+    total = sum(counts.values())
+    # scarcest source relative to share: code (1000 / 0.1 = 10k budget) ->
+    # code keeps everything, web thins to ~7000, books to ~2000
+    assert counts["code"] == 1000
+    assert abs(counts["web"] - 7000) < 200 and abs(counts["books"] - 2000) < 150
+    for name, share in (("web", 0.7), ("code", 0.1), ("books", 0.2)):
+        assert abs(counts[name] / total - share) < 0.03
+    # deterministic: same rows on recompute
+    a = {(r["source"], r["doc_id"]) for r in mixed.collect()}
+    b = {
+        (r["source"], r["doc_id"])
+        for r in corpus_mix(
+            {"web": web, "code": code, "books": books},
+            {"web": 0.7, "code": 0.1, "books": 0.2},
+        ).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        corpus_mix({"web": web}, {"other": 1.0})
