@@ -1,0 +1,99 @@
+"""DuckDB-mirror checks for operators that live OFF the driver's 50-row
+oracle board (the board is capped; these get the same engine-vs-SQL
+treatment inside pytest instead).  Same discipline as the driver gate:
+identical formulas on both engines, exact value comparison."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+_SHINGLES = """
+{name}_words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM ({src})
+),
+{name}_pos AS (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w) - {k} + 1, 1) + 1)) AS i
+  FROM {name}_words
+),
+{name}_sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, i + {k} - 1), ' ') AS shingle
+  FROM {name}_pos
+  WHERE length(array_to_string(list_slice(w, i, i + {k} - 1), ' ')) > 0
+)
+"""
+
+
+def test_decontaminate_matches_duckdb_oracle(spark):
+    from ape_dts_spark.operators.text_dedup import decontaminate
+
+    k, max_df, threshold = 3, 1000, 0.5
+    train = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    t0, t1 = [r["text"] for r in train.orderBy("doc_id").limit(2).collect()]
+    eval_rows = [
+        (1, t0),
+        (2, "alien " + " ".join(f"zq{i}" for i in range(30))),
+        (3, " ".join(t1.split()[:25]) + " " + " ".join(f"xk{i}" for i in range(25))),
+        (4, ""),
+    ]
+    evalset = spark.createDataFrame(eval_rows, "doc_id long, text string")
+
+    got = (
+        decontaminate(train, evalset, k=k, threshold=threshold, max_doc_freq=max_df)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW train AS SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    )
+    con.register("evalset", pd.DataFrame(eval_rows, columns=["doc_id", "text"]))
+    sql = (
+        "WITH "
+        + _SHINGLES.format(name="t", src="SELECT doc_id, text FROM train", k=k)
+        + ", "
+        + _SHINGLES.format(name="e", src="SELECT doc_id, text FROM evalset", k=k)
+        + f"""
+        , vocab AS (
+          SELECT DISTINCT shingle FROM (
+            SELECT shingle, count(*) OVER (PARTITION BY shingle) AS df FROM t_sh
+          ) WHERE df <= {max_df}
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_shingles FROM e_sh GROUP BY doc_id
+        ), matched AS (
+          SELECT doc_id, count(*) AS n_matched
+          FROM e_sh SEMI JOIN vocab USING (shingle)
+          GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               s.n_shingles,
+               coalesce(m.n_matched, 0) AS n_matched,
+               ((20000::HUGEINT * coalesce(m.n_matched, 0) + s.n_shingles)
+                 // (2 * s.n_shingles)) / 10000.0 AS overlap_frac,
+               ((20000::HUGEINT * coalesce(m.n_matched, 0) + s.n_shingles)
+                 // (2 * s.n_shingles)) / 10000.0 >= {threshold} AS contaminated
+        FROM sizes s LEFT JOIN matched m USING (doc_id)
+        ORDER BY s.doc_id
+        """
+    )
+    want = con.execute(sql).df()
+
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    for col in ("n_shingles", "n_matched"):
+        assert list(got[col]) == list(want[col].astype(int)), col
+    assert [float(v) for v in got["overlap_frac"]] == [
+        float(v) for v in want["overlap_frac"]
+    ]
+    assert list(got["contaminated"]) == list(want["contaminated"])
+    # sanity on the planted structure
+    by = {int(r.doc_id): r for r in got.itertuples()}
+    assert by[1].overlap_frac == 1.0 and bool(by[1].contaminated)
+    assert by[2].overlap_frac == 0.0 and not bool(by[2].contaminated)
+    assert 0.0 < by[3].overlap_frac < 1.0
+    assert 4 not in by  # empty text -> no row on either engine
