@@ -28,13 +28,22 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 # longer digit run.  Without it, '+' + 23 digits matched only its first 14
 # and the replacement token minted a word boundary in front of the digit
 # tail, so a SECOND scrub redacted more than the first (scrubbing wasn't a
-# fixed point; found by the hypothesis idempotence property).  \b after a
+# fixed point; found by the hypothesis idempotence property).  The bare
+# international range is {8,15} — E.164 allows 15 digits, and with the \b
+# a {8,14} upper bound would leave a maximal-length number fully
+# unredacted instead of partially redacted (review finding).  \b after a
 # digit behaves identically in Java regex and RE2, so the cross-engine
 # contract is unchanged.
+# The punctuated-group shape is split into a paren form and a WORD-BOUNDED
+# bare form: the old `\(?[0-9]{3,4}\)?...` could start mid-digit-run
+# ('999999999999999-456-456' matched from its 12th digit), and the
+# replacement token then minted a boundary for the leftover prefix — the
+# same non-idempotence class as the missing trailing \b.
 PHONE_RE = (
     r"\+[0-9]{1,3}[ .-]?\(?[0-9]{1,4}\)?([ .-][0-9]{2,5}){1,4}\b"
-    r"|\+[0-9]{8,14}\b"
-    r"|\(?[0-9]{3,4}\)?[.-][0-9]{3,4}[.-][0-9]{3,5}\b"
+    r"|\+[0-9]{8,15}\b"
+    r"|\([0-9]{3,4}\)[.-][0-9]{3,4}[.-][0-9]{3,5}\b"
+    r"|\b[0-9]{3,4}[.-][0-9]{3,4}[.-][0-9]{3,5}\b"
     r"|\b[0-9]{9,12}\b"
 )
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"

@@ -324,12 +324,25 @@ def deterministic_split(
         raise ValueError("weights must be a non-empty dict of non-negative values, sum > 0")
     total = float(sum(weights.values()))
     slot = _hash_slot(id_col, seed)
-    # exact integer boundaries; the LAST split absorbs the rounding remainder
+    # CUMULATIVE boundaries, each rounded independently (largest-remainder
+    # style): cumulating per-split rounded increments lets errors stack and
+    # can zero out a later split.  A positive-weight split whose slot range
+    # still collapses to empty (share below the 1e-6 slot resolution, or a
+    # preceding boundary rounding to the full range) is an error, not a
+    # silent empty split (review finding).
     names = list(weights)
-    bounds, acc = [], 0
+    bounds, cum = [], 0.0
     for name in names[:-1]:
-        acc += int(round(1_000_000 * weights[name] / total))
-        bounds.append(acc)
+        cum += weights[name]
+        bounds.append(int(round(1_000_000 * cum / total)))
+    lo = 0
+    for name, hi in zip(names, bounds + [1_000_000]):
+        if weights[name] > 0 and hi <= lo:
+            raise ValueError(
+                f"split '{name}' has positive weight but an empty slot range "
+                f"[{lo}, {hi}) — weight share is below the 1e-6 resolution"
+            )
+        lo = hi
     expr = F.lit(names[-1])
     for name, b in zip(reversed(names[:-1]), reversed(bounds)):
         expr = F.when(slot < b, F.lit(name)).otherwise(expr)
@@ -382,6 +395,14 @@ def corpus_mix(
     counts = {n: df.count() for n, df in sources.items()}
     # drop zero-weight sources entirely; they contribute no rows
     live = [n for n in sources if share[n] > 0]
+    empty = [n for n in live if counts[n] == 0]
+    if empty:
+        # budget = min(count/share) would be 0: EVERY source would thin to
+        # zero rows and the mix would silently be empty — fail loudly
+        raise ValueError(
+            f"positive-weight source(s) with zero rows: {empty}; "
+            "drop them from the mix or give them weight 0"
+        )
     budget = min(counts[n] / share[n] for n in live)
     out = None
     for n in live:

@@ -487,3 +487,69 @@ def decontaminate(
             (frac >= F.lit(threshold)).alias("contaminated"),
         )
     )
+
+
+def contaminated_train_docs(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Train docs that CONTAIN an eval doc: (train doc_id, max_coverage,
+    n_eval_hit) for every train doc where some eval doc has >= ``threshold``
+    of ITS OWN shingles present in that train doc.
+
+    This is the corpus-side drop list.  Normalization is EVAL-side —
+    coverage(t, e) = |shingles(t) ∩ shingles(e)| / |shingles(e)| — because
+    the dominant real contamination shape is a long web page containing a
+    short benchmark item verbatim: train-side normalization (see
+    ``decontaminate``, the per-eval audit) dilutes that to ~0 and misses it
+    (review finding).  Join shape: eval shingle sets are benchmark-sized,
+    so the shingle equi-join fans out per train doc by at most the eval
+    vocabulary it shares; ``max_doc_freq`` drops boilerplate shingles
+    present in more than that many TRAIN docs (they pair every train doc
+    with every eval doc sharing a stop-phrase — skew with no signal),
+    making coverage a deterministic lower bound over distinctive shingles.
+    """
+    train_sh = word_shingles(train, id_col, text_col, k)
+    if max_doc_freq is not None:
+        wdf = Window.partitionBy("shingle")
+        train_sh = (
+            train_sh.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    eval_sh = word_shingles(evalset, id_col, text_col, k).select(
+        F.col(id_col).alias("_eid"), "shingle"
+    )
+    eval_sizes = (
+        _spread(evalset)
+        .select(
+            F.col(id_col).alias("_eid"),
+            F.size(_shingle_array(F.col(text_col), k)).alias("_esz"),
+        )
+        .filter(F.col("_esz") > 0)
+    )
+    inter = (
+        train_sh.join(eval_sh, "shingle")
+        .groupBy(id_col, "_eid")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    cov = inter.join(eval_sizes, "_eid").select(
+        F.col(id_col),
+        (
+            F.expr("(CAST(20000 AS DECIMAL(38,0)) * _inter + _esz) div (2 * _esz)")
+            / 10000.0
+        ).alias("_cov"),
+    )
+    return (
+        cov.filter(F.col("_cov") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.max("_cov").alias("max_coverage"),
+            F.count(F.lit(1)).alias("n_eval_hit"),
+        )
+    )

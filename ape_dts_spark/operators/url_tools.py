@@ -164,11 +164,28 @@ def domain_cap(
     """
     if cap < 1:
         raise ValueError("cap must be >= 1")
+    # grouping key fallback chain: registered domain, else the bare host
+    # (dotless intranet/localhost urls have no registrable domain — cap
+    # those per-host), else the url itself (unparseable urls form
+    # singleton groups, i.e. are exempt).  Without the fallback every
+    # no-domain doc lands under the single key '' and unrelated documents
+    # silently share one quota (review finding).
+    dom = registered_domain(F.col(url_col))
+    host = url_host(F.col(url_col))
+    # an IPv4 host has no registrable domain either (its last two octets
+    # are not a "domain" — 10.1.3.4 and 99.9.3.4 must not share a quota):
+    # group those per-host too
+    is_ip = host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
+    key = (
+        F.when((dom != "") & ~is_ip, dom)
+        .when(host != "", host)
+        .otherwise(F.col(url_col))
+    )
     w = Window.partitionBy("_dom").orderBy(
         F.xxhash64(F.col(url_col)).asc(), F.col(id_col).asc()
     )
     return (
-        docs.withColumn("_dom", registered_domain(F.col(url_col)))
+        docs.withColumn("_dom", key)
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= cap)
         .drop("_dom", "_r")

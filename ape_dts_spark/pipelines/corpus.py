@@ -13,9 +13,13 @@ Every stage is one of the library's tested operators (each individually
 oracle- or property-checked); this module only sequences them and carries
 an audit column, so the pipeline inherits the operators' scale shapes:
 no stage funnels a hot domain/key into one task, the near-dup path is the
-banded LSH (sub-quadratic), and decontamination is a vocabulary semi-join
-(linear).  The whole thing is lazily composed — ONE Spark action at the
-sink consumes it.
+banded LSH (sub-quadratic), and decontamination is an eval-normalized
+coverage join (eval sets are benchmark-sized).  Laziness caveat: with
+``near_dup=True`` (the default) the connected-components stage is
+iterative and MATERIALIZES the pipeline up to near-dup during the
+corpus_pipeline() call itself (the survivors are persisted so the sink
+action reuses that pass instead of recomputing); with near_dup=False the
+composition is fully lazy until the sink.
 
 Determinism: every stage keys its decisions on content hashes and ids, so
 the same corpus in produces byte-identical survivor sets and split labels
@@ -33,8 +37,8 @@ from pyspark.sql import functions as F
 from ape_dts_spark.operators.dedup_clusters import cluster_keep_list, connected_components
 from ape_dts_spark.operators.text_analysis import deterministic_split, quality_filter
 from ape_dts_spark.operators.text_dedup import (
+    contaminated_train_docs,
     dedup_exact,
-    decontaminate,
     lsh_candidate_pairs,
     minhash_signatures_fused,
 )
@@ -80,12 +84,10 @@ def corpus_pipeline(
       4. ``near_dup``: MinHash+LSH candidate pairs -> connected components
          -> keep the lowest id per near-dup cluster
       5. ``min_words``: C4/Gopher-style quality filter (keep==true)
-      6. ``evalset``: drop train docs contaminated against it — NOTE the
-         standard decontamination direction is to flag EVAL overlap; here
-         the conservative corpus-side action is dropping train docs whose
-         shingles cover a contaminated eval doc, approximated by running
-         decontaminate with roles swapped (train docs as the "eval" side,
-         eval shingles as the vocabulary)
+      6. ``evalset``: drop train docs that CONTAIN >= threshold of any
+         eval doc's shingles (eval-side coverage via
+         contaminated_train_docs — catches a short benchmark item embedded
+         verbatim in a long page, which a train-side fraction would miss)
       7. split assignment (never drops rows)
     """
     report = CorpusPipelineReport()
@@ -112,6 +114,11 @@ def corpus_pipeline(
     out = _note("exact_deduped", dedup_exact(out, id_col, text_col))
 
     if near_dup:
+        # connected_components is ITERATIVE — it materializes the pair list
+        # (persist + count) during this call, forcing everything upstream.
+        # Persist the survivors first so that forced pass is reused by the
+        # sink action instead of recomputing canonicalize/cap/dedup twice.
+        out = out.persist()
         sig = minhash_signatures_fused(
             out, id_col, text_col, k=shingle_k, num_hashes=num_hashes
         )
@@ -130,14 +137,18 @@ def corpus_pipeline(
         out = _note("quality_kept", out.join(keepers, id_col, "left_semi"))
 
     if evalset is not None:
-        contaminated = decontaminate(
-            evalset,  # vocabulary side: the eval shingles
-            out,  # checked side: surviving train docs
+        # eval-side coverage: drop any train doc CONTAINING >= threshold of
+        # some eval doc's shingles.  (A train-side fraction would dilute a
+        # short benchmark item embedded in a long page to ~0 and miss it —
+        # that audit direction lives in `decontaminate`.)
+        contaminated = contaminated_train_docs(
+            out,
+            evalset,
             id_col=id_col,
             text_col=text_col,
             k=shingle_k,
             threshold=contamination_threshold,
-        ).filter("contaminated").select(id_col)
+        ).select(id_col)
         out = _note("decontaminated", out.join(contaminated, id_col, "left_anti"))
 
     out = deterministic_split(out, split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}, id_col)

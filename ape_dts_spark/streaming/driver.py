@@ -309,6 +309,14 @@ def prepare_changes(pages: LakeTable, df: DataFrame, cfg: "EngineConfig") -> Dat
     filter -> route -> user transform hook -> key-change split -> NULL-key
     quarantine -> schema projection (rename-aware) -> salted LWW dedup ->
     vectorized extraction."""
+    if cfg.dedup_strategy not in ("bucket_aligned", "plain", "two_phase"):
+        # the fallback meaning changed in round 4 (plain window instead of
+        # salted two-phase): a typo'd strategy must not silently pick a
+        # different skew guard than the one configured
+        raise ValueError(
+            f"unknown dedup_strategy {cfg.dedup_strategy!r}; "
+            "expected bucket_aligned | plain | two_phase"
+        )
     df = cfg.filter.apply(df)
     df = cfg.router.route_cols(df)
     hook = resolve_transform(cfg.transform)

@@ -564,6 +564,29 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert (rows[4].n_emails, rows[4].n_phones, rows[4].n_ips) == (0, 0, 0)
 
 
+def test_pii_phone_boundary_shapes(spark):
+    """Boundary cases of the word-bounded PHONE_RE: a maximal-length E.164
+    number redacts in full (the {8,14} bound left 15-digit numbers fully
+    in clear text — review finding), over-long digit runs are numeric junk
+    and stay, and punctuated shapes can't start mid-digit-run."""
+    from ape_dts_spark.operators.pii import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "+999999999999999"),  # '+' + 15 digits: valid E.164 max
+            (2, "+9999999999999999"),  # '+' + 16 digits: not a phone
+            (3, "999999999999999-456-456"),  # punctuated tail of a 15-run
+            (4, "(555).123.4567"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert rows[1].text_scrubbed == "<PHONE>" and rows[1].n_phones == 1
+    assert rows[2].text_scrubbed == "+9999999999999999" and rows[2].n_phones == 0
+    assert rows[3].text_scrubbed == "999999999999999-456-456"
+    assert rows[4].text_scrubbed == "<PHONE>"
+
+
 def test_hot_key_report_and_salt_suggestion(spark):
     from ape_dts_spark.operators.profiling import hot_key_report, suggest_salt
 
@@ -863,3 +886,86 @@ def test_corpus_mix_proportions_and_determinism(spark):
     assert a == b
     with pytest.raises(ValueError):
         corpus_mix({"web": web}, {"other": 1.0})
+
+
+def test_domain_cap_no_domain_and_ip_hosts_not_lumped(spark):
+    """Dotless hosts cap per-host, IPv4 hosts per-address, unparseable urls
+    are exempt — none of them share the single '' quota (review finding)."""
+    from ape_dts_spark.operators.url_tools import domain_cap
+
+    rows = (
+        [(i, f"https://localhost:8080/p{i}") for i in range(8)]
+        + [(100 + i, f"https://intranet/x{i}") for i in range(8)]
+        + [(200 + i, f"https://10.1.3.{i}/a") for i in range(4)]  # 4 distinct IPs
+        + [(300 + i, f"https://99.9.3.4/b{i}") for i in range(8)]  # one IP, 8 docs
+        + [(400 + i, f"not a url {i}") for i in range(8)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"] for r in domain_cap(docs, cap=5).select("doc_id").collect()}
+    n = lambda lo, hi: len([i for i in got if lo <= i < hi])
+    assert n(0, 100) == 5      # localhost capped per-host
+    assert n(100, 200) == 5    # intranet capped per-host, independently
+    assert n(200, 300) == 4    # 4 distinct IPs: all kept (1 each)
+    assert n(300, 400) == 5    # single hot IP capped
+    assert n(400, 500) == 8    # unparseable urls exempt (singleton groups)
+
+
+def test_corpus_mix_rejects_empty_positive_weight_source(spark):
+    from ape_dts_spark.operators.text_analysis import corpus_mix
+
+    web = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    empty = web.filter("doc_id < 0")
+    with pytest.raises(ValueError, match="zero rows"):
+        corpus_mix({"web": web, "code": empty}, {"web": 0.9, "code": 0.1})
+    # zero-weight empty source is fine (contributes nothing)
+    out = corpus_mix({"web": web, "code": empty}, {"web": 1.0, "code": 0.0})
+    assert out.count() == 100
+
+
+def test_deterministic_split_rejects_sub_resolution_weight(spark):
+    from ape_dts_spark.operators.text_analysis import deterministic_split
+
+    docs = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="empty slot range"):
+        deterministic_split(docs, {"train": 0.9999996, "holdout": 0.0000004})
+    # zero-weight splits are allowed and simply get no rows
+    out = deterministic_split(docs, {"train": 1.0, "never": 0.0})
+    assert {r["split"] for r in out.collect()} == {"train"}
+
+
+def test_prepare_changes_rejects_unknown_dedup_strategy(spark, tmp_path):
+    from ape_dts_spark.lake.table import LakeTable
+    from ape_dts_spark.sources.generator import PAGES_COLS, gen_changes
+    from ape_dts_spark.streaming.driver import EngineConfig, prepare_changes
+
+    gen_changes(spark, 100, 20, seed=5).write.parquet(str(tmp_path / "ch"))
+    pp = str(tmp_path / "pages")
+    LakeTable.create(pp, PAGES_COLS, bucket_key="url", bucket_count=4)
+    cfg = EngineConfig(
+        job_id="bad", pages_path=pp, changes_path=str(tmp_path / "ch"),
+        dedup_strategy="twophase",  # typo: must not silently pick a guard
+    )
+    with pytest.raises(ValueError, match="dedup_strategy"):
+        prepare_changes(LakeTable.load(pp), spark.read.parquet(str(tmp_path / "ch")), cfg)
+
+
+def test_contaminated_train_docs_containment_shape(spark):
+    """A long train page containing a short eval item verbatim must be
+    flagged (eval-side coverage), while the per-eval audit direction
+    (decontaminate) correctly reports the same situation as low TRAIN-side
+    overlap — the two directions answer different questions."""
+    from ape_dts_spark.operators.text_dedup import contaminated_train_docs, decontaminate
+
+    noise = " ".join(f"w{i}" for i in range(400))
+    bench = "what is the airspeed velocity of an unladen swallow exactly"
+    train = spark.createDataFrame(
+        [(1, noise + " " + bench + " " + noise), (2, noise)],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame([(10, bench)], "doc_id long, text string")
+    flagged = {r["doc_id"]: r for r in contaminated_train_docs(train, evalset, k=3).collect()}
+    assert 1 in flagged and flagged[1]["max_coverage"] == 1.0
+    assert 2 not in flagged
+    # the audit direction: eval doc 10 is fully covered by the corpus
+    audit = decontaminate(train, evalset, k=3).collect()[0]
+    assert audit["overlap_frac"] == 1.0 and audit["contaminated"]

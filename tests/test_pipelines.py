@@ -39,9 +39,21 @@ def raw_docs(spark):
 
 
 def test_corpus_pipeline_end_to_end(spark, raw_docs):
+    # eval item 1: verbatim copy of train doc 7's text (equal length)
+    # eval item 2: a SHORT benchmark question embedded verbatim inside the
+    # much longer train doc 9 — the containment shape a train-side overlap
+    # fraction would dilute to ~0 and miss (review finding)
+    doc9_text = raw_docs.filter(F.col("doc_id") == 9).collect()[0]["text"]
+    snippet = " ".join(doc9_text.split()[:12])
     evalset = (
         raw_docs.filter(F.col("doc_id") == 7)
         .select((F.col("doc_id") + 90_000).alias("doc_id"), "url", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(90_001, "https://bench.org/q1", snippet)],
+                "doc_id long, url string, text string",
+            )
+        )
     )
     out, report = corpus_pipeline(
         raw_docs,
@@ -62,6 +74,9 @@ def test_corpus_pipeline_end_to_end(spark, raw_docs):
     assert 60_005 not in got_ids and 5 in got_ids
     # decontamination dropped the train doc whose text the eval doc copies
     assert 7 not in got_ids
+    # ...AND the long train doc that merely CONTAINS the short eval snippet
+    assert 9 not in got_ids
+    assert 8 in got_ids  # uninvolved docs survive
     # audit: counts are monotone non-increasing through dropping stages
     order = [
         "url_unique", "domain_capped", "exact_deduped",

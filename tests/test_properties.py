@@ -120,6 +120,7 @@ _pii_atom = st.sampled_from(
         "1", "23", "456", "7890", ".", " ", "-", "+", "(", ")", "@", "a",
         "bc.de", "x.com", ".com", "192.168.1.1", "@b.co", "<", ">", "\n",
         "000000000", "call +1 (555) 123-4567", "id 123456789",
+        "9" * 15, "-456-456", "555-000-1234",  # mid-run entry hazards
     ]
 )
 
