@@ -85,3 +85,22 @@ def test_kc_targets_disjoint_from_insert_mints_across_tails(spark):
     # namespace check, stronger than the sampled-set intersection above
     assert all(_url_id(u) >= KC_ID_BASE for u in kc_urls)
     assert all(_url_id(u) < KC_ID_BASE for u in ins_urls)
+
+
+def test_gen_changes_stream_invariants(spark):
+    """The synthetic binlog's structural contract, pinned: lsn strictly
+    increasing and unique (the engine's total order), ops within the
+    documented vocabulary, deletes carry null payload, tx_id non-null."""
+    from ape_dts_spark.sources.generator import gen_changes
+
+    ch = gen_changes(spark, 5000, 800, seed=11)
+    n = ch.count()
+    lsns = [r["lsn"] for r in ch.select("lsn").orderBy("lsn").collect()]
+    assert len(lsns) == n and len(set(lsns)) == n
+    assert all(b > a for a, b in zip(lsns, lsns[1:]))
+    ops = {r["op"] for r in ch.select("op").distinct().collect()}
+    assert ops <= {"insert", "update", "delete"}
+    bad_del = ch.filter((F.col("op") == "delete") & F.col("html").isNotNull()).count()
+    assert bad_del == 0
+    assert ch.filter(F.col("tx_id").isNull()).count() == 0
+    assert ch.filter(F.col("url").isNull()).count() == 0
