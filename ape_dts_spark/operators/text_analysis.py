@@ -392,9 +392,9 @@ def corpus_mix(
     if total_w <= 0 or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative, sum > 0")
     share = {n: w / total_w for n, w in weights.items()}
-    counts = {n: df.count() for n, df in sources.items()}
-    # drop zero-weight sources entirely; they contribute no rows
+    # zero-weight sources contribute no rows — skip even counting them
     live = [n for n in sources if share[n] > 0]
+    counts = {n: sources[n].count() for n in live}
     empty = [n for n in live if counts[n] == 0]
     if empty:
         # budget = min(count/share) would be 0: EVERY source would thin to
