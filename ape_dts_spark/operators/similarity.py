@@ -534,3 +534,61 @@ def quantization_error_stats(
         F.round(F.avg("mean_err"), 6).alias("mean_abs_err"),
         F.round(F.max("half_step"), 6).alias("max_half_step"),
     )
+
+
+def brute_force_topk_quantized(
+    qcorpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact-shape cosine top-k over an int8-QUANTIZED corpus (the output of
+    quantize_embeddings: (id, qvec, scale)) — the 4x-memory ANN serving
+    path.  dot(q, scale*code) = scale * dot(q, code), so the per-pair work
+    is an integer-weighted fold; queries stay float and broadcast.  Scores
+    are approximate within the reconstruction bound audited by
+    quantization_error_stats; ranking quality vs the float path is pinned
+    by test_quantized_topk_recall.  Output: (query_id, neighbor_id,
+    cos_sim, rank) — same schema as brute_force_topk."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qv"),
+            _norm(F.col(vec_col)).alias("_qn"),
+        )
+    )
+    c = qcorpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("_cc"),
+        F.col("scale").cast("double").alias("_cs"),
+    )
+    pair = q.crossJoin(c).filter(F.col(query_id_col) != F.col("neighbor_id"))
+    dot_int = F.aggregate(
+        F.zip_with(
+            F.col("_qv"), F.col("_cc"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cnorm_int = F.sqrt(
+        F.aggregate(
+            F.col("_cc"),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    # scale cancels in cosine: (s*dot_int) / (qn * s*cnorm_int) — but keep it
+    # so zero-vectors (scale 0) score NULL-safe 0 via the when guard
+    cos = F.when(
+        (F.col("_qn") > 0) & (cnorm_int > 0) & (F.col("_cs") > 0),
+        dot_int / (F.col("_qn") * cnorm_int),
+    ).otherwise(F.lit(0.0))
+    scored = pair.select(
+        F.col(query_id_col), F.col("neighbor_id"), cos.alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -969,3 +969,27 @@ def test_contaminated_train_docs_containment_shape(spark):
     # the audit direction: eval doc 10 is fully covered by the corpus
     audit = decontaminate(train, evalset, k=3).collect()[0]
     assert audit["overlap_frac"] == 1.0 and audit["contaminated"]
+
+
+def test_quantized_topk_recall(spark):
+    """SQ8 top-k must agree with the float brute force on nearly all
+    neighbors (reconstruction error is bounded by half a quantization
+    step, so rank inversions only happen between near-ties)."""
+    from ape_dts_spark.operators.similarity import (
+        brute_force_topk_quantized,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vec_col = [c for c in emb.columns if c in ("embedding", "emb", "vector")][0]
+    id_col = [c for c in emb.columns if c.endswith("id")][0]
+    emb = emb.select(id_col, vec_col)
+    queries = emb.limit(8).select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    exact = brute_force_topk(emb, queries, id_col=id_col, vec_col=vec_col, k=10)
+    qz = quantize_embeddings(emb, id_col, vec_col)
+    approx = brute_force_topk_quantized(qz, queries, id_col=id_col, vec_col=vec_col, k=10)
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, recall
+    assert approx.columns == exact.columns
