@@ -97,3 +97,70 @@ def test_decontaminate_matches_duckdb_oracle(spark):
     assert by[2].overlap_frac == 0.0 and not bool(by[2].contaminated)
     assert 0.0 < by[3].overlap_frac < 1.0
     assert 4 not in by  # empty text -> no row on either engine
+
+
+def test_contaminated_train_docs_matches_duckdb_oracle(spark):
+    from ape_dts_spark.operators.text_dedup import contaminated_train_docs
+
+    k, max_df, threshold = 3, 1000, 0.5
+    train0 = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    rows = train0.orderBy("doc_id").limit(2).collect()
+    bench = " ".join(rows[0]["text"].split()[:10])
+    # plant: a long train doc containing the bench snippet verbatim
+    long_doc = rows[1]["text"] + " " + bench
+    train = train0.unionByName(
+        spark.createDataFrame([(77_000, long_doc)], "doc_id long, text string")
+    )
+    evalset = spark.createDataFrame(
+        [(1, bench), (2, "alien " + " ".join(f"qq{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+
+    got = (
+        contaminated_train_docs(train, evalset, k=k, threshold=threshold, max_doc_freq=max_df)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "train_pdf",
+        train.toPandas(),
+    )
+    con.register("evalset", pd.DataFrame(
+        [(1, bench), (2, "alien " + " ".join(f"qq{i}" for i in range(20)))],
+        columns=["doc_id", "text"],
+    ))
+    sql = (
+        "WITH "
+        + _SHINGLES.format(name="t", src="SELECT doc_id, text FROM train_pdf", k=k)
+        + ", "
+        + _SHINGLES.format(name="e", src="SELECT doc_id, text FROM evalset", k=k)
+        + f"""
+        , t_capped AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+            FROM t_sh
+          ) WHERE df <= {max_df}
+        ), esz AS (
+          SELECT doc_id AS eid, count(*) AS n FROM e_sh GROUP BY doc_id
+        ), inter AS (
+          SELECT t.doc_id, e.doc_id AS eid, count(*) AS i
+          FROM t_capped t JOIN e_sh e USING (shingle)
+          GROUP BY t.doc_id, e.doc_id
+        ), cov AS (
+          SELECT doc_id,
+                 ((20000::HUGEINT * i + n) // (2 * n)) / 10000.0 AS c
+          FROM inter JOIN esz USING (eid)
+        )
+        SELECT doc_id, max(c) AS max_coverage, count(*) AS n_eval_hit
+        FROM cov WHERE c >= {threshold}
+        GROUP BY doc_id ORDER BY doc_id
+        """
+    )
+    want = con.execute(sql).df()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert [float(v) for v in got["max_coverage"]] == [float(v) for v in want["max_coverage"]]
+    assert list(got["n_eval_hit"]) == list(want["n_eval_hit"].astype(int))
+    # the planted containment is present on both engines
+    assert 77_000 in set(got["doc_id"])
