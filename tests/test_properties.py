@@ -240,3 +240,32 @@ def test_registered_domain_fixed_point(spark):
     for r in out:
         assert r["d2"] == r["d1"], r
         assert r["d1"] == "" or r["host"] == r["d1"] or r["host"].endswith("." + r["d1"]), r
+
+
+_ini_atom = st.sampled_from(
+    [
+        "[extractor]", "[sinker]", "[filter]", "[router]", "[pipeline]",
+        "[parallelizer]", "extract_type=cdc", "extract_type=",
+        "changes_path=/x", "pages_path=/y", "batch_lsn_width=abc",
+        "batch_lsn_width=5000", "salt=-3", "salt=", "do_events=insert,,",
+        "col_map=a:b,c", "col_map=::", "compact_ratio=nan", "max_rps=1e3",
+        "=x", "[[weird]", "key with space = v", "%percent%", "\t",
+        "merge_mode=cow", "feed_format=avro", "unknown_key=1", "",
+    ]
+)
+
+
+@PROP
+@given(st.lists(_ini_atom, min_size=0, max_size=15).map("\n".join))
+def test_task_config_parse_is_total(txt):
+    """load_task_config on arbitrary ini soup either parses or raises one
+    of the documented error classes — never an internal TypeError/
+    AttributeError that would mask a config mistake as an engine bug."""
+    import configparser
+
+    from ape_dts_spark.config import load_task_config
+
+    try:
+        load_task_config(txt, is_text=True)
+    except (ValueError, KeyError, configparser.Error):
+        pass
