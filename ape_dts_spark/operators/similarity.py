@@ -41,8 +41,15 @@ def _cos_pre(a, b, na, nb):
     double product in the denominator) but evaluated per-row instead of
     per-pair.  In the top-k scorers each side's norm is computed once in the
     side's own projection (below the join), cutting ~2/3 of the scoring
-    FLOPs on the |Q| x corpus hot path."""
-    return _dot(a, b) / (na * nb)
+    FLOPs on the |Q| x corpus hot path.
+
+    Degenerate (all-zero) vectors score 0.0, not NaN: 0/0 = NaN, and Spark
+    sorts NaN ABOVE every double in descending order, so without the guard
+    a single zero vector in the corpus would rank as the TOP-1 neighbor of
+    every query (review finding).  Fixture corpora carry no zero vectors,
+    so board-oracle values are unchanged; the guard only reroutes the
+    undefined case."""
+    return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -559,10 +566,21 @@ def brute_force_topk_quantized(
             _norm(F.col(vec_col)).alias("_qn"),
         )
     )
+    # int-code norm precomputed ONCE per corpus row (below the join), same
+    # pattern as brute_force_topk's _cn — recomputing it per (query, row)
+    # pair doubles the hot-path FLOPs
+    cnorm_int = F.sqrt(
+        F.aggregate(
+            F.col("qvec"),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
     c = qcorpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("qvec").alias("_cc"),
         F.col("scale").cast("double").alias("_cs"),
+        cnorm_int.alias("_cn"),
     )
     pair = q.crossJoin(c).filter(F.col(query_id_col) != F.col("neighbor_id"))
     dot_int = F.aggregate(
@@ -572,18 +590,11 @@ def brute_force_topk_quantized(
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    cnorm_int = F.sqrt(
-        F.aggregate(
-            F.col("_cc"),
-            F.lit(0.0),
-            lambda a, x: a + x.cast("double") * x.cast("double"),
-        )
-    )
     # scale cancels in cosine: (s*dot_int) / (qn * s*cnorm_int) — but keep it
     # so zero-vectors (scale 0) score NULL-safe 0 via the when guard
     cos = F.when(
-        (F.col("_qn") > 0) & (cnorm_int > 0) & (F.col("_cs") > 0),
-        dot_int / (F.col("_qn") * cnorm_int),
+        (F.col("_qn") > 0) & (F.col("_cn") > 0) & (F.col("_cs") > 0),
+        dot_int / (F.col("_qn") * F.col("_cn")),
     ).otherwise(F.lit(0.0))
     scored = pair.select(
         F.col(query_id_col), F.col("neighbor_id"), cos.alias("cos_sim")

@@ -84,6 +84,11 @@ def run_cell(workdir: str, cores: int) -> None:
         "spark.local.dir": f"/dev/shm/spark-pipe-{cores}",
         "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
     }
+    # same env knobs as scaling_probe so protocol tweaks hit both probes
+    if os.environ.get("PROBE_AQE_OFF"):
+        extra["spark.sql.adaptive.enabled"] = "false"
+    if os.environ.get("PROBE_EXTRA_CONF"):
+        extra.update(json.loads(os.environ["PROBE_EXTRA_CONF"]))
     s = get_spark(
         f"pipe{cores}",
         master=f"local[{cores}]",

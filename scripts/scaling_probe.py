@@ -75,7 +75,11 @@ def run_cell(workdir, cores, extract):
     # re-used across SparkSessions in ONE process keeps its launch-time
     # mask, which is why each cell is a fresh subprocess.
     if os.environ.get("PROBE_PIN", "1") == "1":
-        os.sched_setaffinity(0, set(range(cores)))
+        # pin within the ALLOWED set — CPUs 0..N-1 need not be in it
+        # (cpuset containers, restricted masks); same form as bench.py's
+        # scaling_cell and pipeline_scaling_probe so cells stay comparable
+        allowed = sorted(os.sched_getaffinity(0))
+        os.sched_setaffinity(0, set(allowed[:cores]))
     from pyspark.sql import functions as F
 
     from ape_dts_spark.functions.extract_text import extract_text_udf

@@ -984,7 +984,11 @@ def test_quantized_topk_recall(spark):
     vec_col = [c for c in emb.columns if c in ("embedding", "emb", "vector")][0]
     id_col = [c for c in emb.columns if c.endswith("id")][0]
     emb = emb.select(id_col, vec_col)
-    queries = emb.limit(8).select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    # deterministic query set: bare limit() without ordering may pick
+    # different rows on each action, desynchronizing the two collects
+    queries = (
+        emb.orderBy(id_col).limit(8).select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    )
     exact = brute_force_topk(emb, queries, id_col=id_col, vec_col=vec_col, k=10)
     qz = quantize_embeddings(emb, id_col, vec_col)
     approx = brute_force_topk_quantized(qz, queries, id_col=id_col, vec_col=vec_col, k=10)
@@ -993,3 +997,19 @@ def test_quantized_topk_recall(spark):
     recall = len(want & got) / len(want)
     assert recall >= 0.9, recall
     assert approx.columns == exact.columns
+
+
+def test_topk_zero_vector_never_ranks_first(spark):
+    """0/0 cosine = NaN, and Spark sorts NaN FIRST in descending order — an
+    all-zero corpus vector must score 0.0 and rank last, not poison every
+    query's top-1 (review finding)."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    got = brute_force_topk(corpus, queries, k=3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in got] == [1, 2, 3]
+    assert got[-1]["cos_sim"] == 0.0

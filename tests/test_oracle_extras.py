@@ -111,10 +111,8 @@ def test_contaminated_train_docs_matches_duckdb_oracle(spark):
     train = train0.unionByName(
         spark.createDataFrame([(77_000, long_doc)], "doc_id long, text string")
     )
-    evalset = spark.createDataFrame(
-        [(1, bench), (2, "alien " + " ".join(f"qq{i}" for i in range(20)))],
-        "doc_id long, text string",
-    )
+    eval_rows = [(1, bench), (2, "alien " + " ".join(f"qq{i}" for i in range(20)))]
+    evalset = spark.createDataFrame(eval_rows, "doc_id long, text string")
 
     got = (
         contaminated_train_docs(train, evalset, k=k, threshold=threshold, max_doc_freq=max_df)
@@ -123,14 +121,8 @@ def test_contaminated_train_docs_matches_duckdb_oracle(spark):
     )
 
     con = duckdb.connect()
-    con.register(
-        "train_pdf",
-        train.toPandas(),
-    )
-    con.register("evalset", pd.DataFrame(
-        [(1, bench), (2, "alien " + " ".join(f"qq{i}" for i in range(20)))],
-        columns=["doc_id", "text"],
-    ))
+    con.register("train_pdf", train.toPandas())
+    con.register("evalset", pd.DataFrame(eval_rows, columns=["doc_id", "text"]))
     sql = (
         "WITH "
         + _SHINGLES.format(name="t", src="SELECT doc_id, text FROM train_pdf", k=k)
