@@ -156,3 +156,67 @@ def test_contaminated_train_docs_matches_duckdb_oracle(spark):
     assert list(got["n_eval_hit"]) == list(want["n_eval_hit"].astype(int))
     # the planted containment is present on both engines
     assert 77_000 in set(got["doc_id"])
+
+
+def test_canonicalize_cross_engine_on_url_soup(spark):
+    """Spark's canonicalize_url vs the DuckDB spelling of the SAME regex
+    chain, over url shapes the generator never produces (userinfo, weird
+    ports, multiple '?', uppercase paths, fragments-only).  The board
+    oracle covers generator shapes; this extends the cross-engine contract
+    to the messy tail."""
+    from pyspark.sql import functions as F
+
+    from ape_dts_spark.operators.url_tools import _SCHEME_AUTH, canonicalize_url
+
+    urls = [
+        "HTTP://Example.COM:80/Path/To?a=1&B=2#Frag",
+        "https://User:Pw@Host.co.uk:443/p?",
+        "https://h/p??",
+        "ftp://H:8080/",
+        "  http://X.org/  ",
+        "https://h#only-frag",
+        "http://h:443/keep-port",
+        "https://h:80/keep-port-too",
+        "no-scheme-at-all",
+        "http://h?",
+        "http://h/?",
+        "HTTPS://A.B.CO.UK",
+        "http://h/p/?q=#",
+        "://missing-scheme",
+        "http://", "?", "#", "",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonicalize_url(F.col("url")).alias("c"))
+        .orderBy(F.col("url"))
+        .collect()
+    ]
+
+    con = duckdb.connect()
+    con.register("urls", pd.DataFrame({"url": urls}))
+    sa = f"^({_SCHEME_AUTH[1:]})"
+    sa_bare = _SCHEME_AUTH
+    want = [
+        r[0]
+        for r in con.execute(
+            f"""
+        WITH c1 AS (
+          SELECT url, regexp_replace(trim(url), '#.*$', '') AS u FROM urls
+        ), c2 AS (
+          SELECT url,
+                 regexp_replace(
+                   regexp_replace(
+                     lower(regexp_extract(u, '{sa}', 1)),
+                     '^(http://[^/:]+):80$', '\\1'),
+                   '^(https://[^/:]+):443$', '\\1')
+                 || regexp_replace(u, '{sa_bare}', '') AS u2
+          FROM c1
+        )
+        SELECT regexp_replace(regexp_replace(u2, '^([^?]*)\\?$', '\\1'),
+                              '^([a-z][a-z0-9+.-]*://[^/?]+)/$', '\\1') AS c
+        FROM c2 ORDER BY url
+        """
+        ).fetchall()
+    ]
+    assert got == want
