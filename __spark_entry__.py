@@ -424,18 +424,22 @@ def _docs_with_dups(spark, sf_dir):
     return d.unionByName(dups)
 
 
-def q_dedup_exact_groups(spark, sf_dir):
-    from ape_dts_spark.operators.text_dedup import exact_duplicates
+def q_dedup_exact_profile(spark, sf_dir):
+    """Exact-dedup family consolidated (one board row, TWO operators
+    value-checked): the keep-first survivors (dedup_exact) annotated with
+    their duplicate-group profile (exact_duplicates: n_docs, group keeper);
+    singletons carry (1, own id)."""
+    from ape_dts_spark.operators.text_dedup import dedup_exact, exact_duplicates
 
-    return exact_duplicates(_docs_with_dups(spark, sf_dir)).select(
-        "digest", "n_docs", "keeper"
+    docs = _docs_with_dups(spark, sf_dir)
+    kept = dedup_exact(docs).select("doc_id", F.md5("text").alias("digest"))
+    groups = exact_duplicates(docs).select("digest", "n_docs", "keeper")
+    return kept.join(groups, "digest", "left").select(
+        "doc_id",
+        "digest",
+        F.coalesce(F.col("n_docs"), F.lit(1).cast("long")).alias("n_docs"),
+        F.coalesce(F.col("keeper"), F.col("doc_id")).alias("keeper"),
     )
-
-
-def q_dedup_keep_first(spark, sf_dir):
-    from ape_dts_spark.operators.text_dedup import dedup_exact
-
-    return dedup_exact(_docs_with_dups(spark, sf_dir)).select("doc_id")
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -490,16 +494,14 @@ def q_text_quality(spark, sf_dir):
     return quality_filter(_t(spark, sf_dir, "documents"), with_signals=True)
 
 
-def q_text_langid(spark, sf_dir):
-    from ape_dts_spark.operators.text_analysis import language_id
+def q_text_lang_fingerprint(spark, sf_dir):
+    """language_id ⋈ fingerprint on doc_id — one board row value-checks both
+    (consolidation frees a slot for the round-4 operators; both remain fully
+    value-checked per doc)."""
+    from ape_dts_spark.operators.text_analysis import fingerprint, language_id
 
-    return language_id(_t(spark, sf_dir, "documents"))
-
-
-def q_text_fingerprint(spark, sf_dir):
-    from ape_dts_spark.operators.text_analysis import fingerprint
-
-    return fingerprint(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).join(fingerprint(docs), "doc_id")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -514,36 +516,24 @@ def q_ann_cosine_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
 
 
-def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (scale path).  The hyperplanes are
-    hash-derived (no RNG state) and the bucket dot-products left-fold in
-    double, so the DuckDB oracle reproduces buckets bit-for-bit."""
+def q_ann_lsh_probe(spark, sf_dir):
+    """LSH-bucketed approximate top-k, single-probe AND multi-probe (the
+    scale-path recall lever: the query's own bucket plus its 3 nearest
+    1-bit-flip buckets by |dot| margin), variant-tagged in ONE board row.
+    Hyperplanes are hash-derived (no RNG state) and every dot left-folds in
+    double, so the DuckDB oracle reproduces buckets, margins, and probe
+    order bit-for-bit."""
     from ape_dts_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
-    return out.select(
-        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
-    )
-
-
-def q_ann_lsh_multiprobe(spark, sf_dir):
-    """Multi-probe LSH top-k (the scale-path recall lever): probe the query's
-    own bucket plus its 3 nearest 1-bit-flip buckets (smallest |dot| margin
-    first, margin ties on plane index).  Dots left-fold in double, so the
-    DuckDB oracle reproduces buckets, margins, and probe order bit-for-bit."""
-    from ape_dts_spark.operators.similarity import lsh_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-    out = lsh_topk(emb, queries, dim=64, k=5, n_planes=6, n_probe=4)
-    return out.select(
-        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    cols = ["query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"]
+    single = lsh_topk(emb, queries, dim=64, k=5, n_planes=6).select(*cols)
+    multi = lsh_topk(emb, queries, dim=64, k=5, n_planes=6, n_probe=4).select(*cols)
+    return single.withColumn("variant", F.lit("single")).unionByName(
+        multi.withColumn("variant", F.lit("multi"))
     )
 
 
@@ -751,10 +741,123 @@ def _messy_urls(spark, sf_dir):
 def q_url_canonicalize(spark, sf_dir):
     """URL canonicalization + host/registered-domain extraction (the merge-key
     identity + hot-domain skew axis for a web-text pipeline) — RE2-safe
-    regexp chain, bit-identical on DuckDB."""
-    from ape_dts_spark.operators.url_tools import canonicalize_urls
+    regexp chain, bit-identical on DuckDB — WITH the per-domain quota folded
+    in: kept_by_cap marks the docs domain_cap(cap=50) keeps, so the exact
+    deterministic selection (md5-slot rank within registered domain, with
+    the host/url fallback-key chain) is value-checked on the same fixture."""
+    from ape_dts_spark.operators.url_tools import canonicalize_urls, domain_cap
 
-    return canonicalize_urls(_messy_urls(spark, sf_dir))
+    messy = _messy_urls(spark, sf_dir)
+    kept = domain_cap(messy, cap=50).select("doc_id", F.lit(True).alias("kept_by_cap"))
+    return (
+        canonicalize_urls(messy)
+        .join(kept, "doc_id", "left")
+        .na.fill({"kept_by_cap": False})
+    )
+
+
+def q_corpus_decontam(spark, sf_dir):
+    """Train/eval decontamination, consolidated: the per-eval audit
+    (decontaminate: n_shingles/n_matched/overlap_frac/contaminated) and the
+    train-side drop list (contaminated_train_docs: n_eval_hit/max_coverage)
+    on a planted corpus, variant-tagged in ONE board row.  The eval set is
+    derived from the documents table itself: 12-word prefixes of every
+    37th doc (planted containment -> coverage 1.0) plus synthetic alien
+    docs (zero overlap), so both positive and negative paths are
+    value-checked at every sf."""
+    from ape_dts_spark.operators.text_dedup import (
+        contaminated_train_docs,
+        decontaminate,
+    )
+
+    train = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    prefix_evals = train.filter(F.col("doc_id") % 37 == 0).select(
+        "doc_id", F.concat_ws(" ", F.slice(words, 1, 12)).alias("text")
+    )
+    alien_evals = train.filter(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(24)),
+                lambda i: F.concat(
+                    F.lit("zq"), F.col("doc_id").cast("string"), F.lit("x"), i.cast("string")
+                ),
+            ),
+        ).alias("text"),
+    )
+    evalset = prefix_evals.unionByName(alien_evals)
+    audit = decontaminate(train, evalset, k=3, threshold=0.5, max_doc_freq=1000).select(
+        F.lit("eval_audit").alias("variant"),
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n1"),
+        F.col("n_matched").cast("long").alias("n2"),
+        F.col("overlap_frac").alias("frac"),
+        F.col("contaminated").alias("flag"),
+    )
+    drops = contaminated_train_docs(
+        train, evalset, k=3, threshold=0.5, max_doc_freq=1000
+    ).select(
+        F.lit("train_drop").alias("variant"),
+        "doc_id",
+        F.col("n_eval_hit").cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.col("max_coverage").alias("frac"),
+        F.lit(True).alias("flag"),
+    )
+    return audit.unionByName(drops)
+
+
+def q_emb_quantized_topk(spark, sf_dir):
+    """Int8 quantized ANN serving path, consolidated: brute-force cosine
+    top-5 over the SQ8-quantized corpus (quantize_embeddings ->
+    brute_force_topk_quantized) with the one-row quantization audit
+    (quantization_error_stats) cross-joined on — one board row value-checks
+    the codes, the integer-weighted scoring, and the error bounds."""
+    from ape_dts_spark.operators.similarity import (
+        brute_force_topk_quantized,
+        quantization_error_stats,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = quantize_embeddings(emb)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    topk = brute_force_topk_quantized(qz, queries, k=5).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+    return topk.crossJoin(F.broadcast(quantization_error_stats(emb)))
+
+
+def q_corpus_split_mix(spark, sf_dir):
+    """The deterministic split/sample/mix family in ONE variant-tagged board
+    row, checked at MEMBERSHIP level (which doc landed where), not just
+    proportions: 'split' rows carry deterministic_split's label (8/1/1),
+    'sample' rows are deterministic_sample(0.25)'s kept set, 'mix' rows are
+    corpus_mix({en:7, rest:3})'s kept set with the source label.  All three
+    decide via the shared md5 hash slot and exact integer thresholds, so
+    DuckDB reproduces every membership bit-for-bit."""
+    from ape_dts_spark.operators.text_analysis import (
+        corpus_mix,
+        deterministic_sample,
+        deterministic_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    split = deterministic_split(docs, {"train": 8, "val": 1, "test": 1}).select(
+        F.lit("split").alias("variant"), "doc_id", F.col("split").alias("label")
+    )
+    samp = deterministic_sample(docs, 0.25).select(
+        F.lit("sample").alias("variant"), "doc_id", F.lit("kept").alias("label")
+    )
+    mixed = corpus_mix(
+        {"en": docs.filter(F.col("lang") == "en"), "rest": docs.filter(F.col("lang") != "en")},
+        {"en": 7, "rest": 3},
+    ).select(F.lit("mix").alias("variant"), "doc_id", F.col("source").alias("label"))
+    return split.unionByName(samp).unionByName(mixed)
 
 
 def q_hot_keys_profile(spark, sf_dir):
@@ -783,6 +886,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * ``text_quality``    = quality_score ⋈ quality_filter (signals + decision)
     * ``dedup_clusters``  = connected_components ⋈ cluster_keep_list
     * ``hot_keys_profile``= hot-key top-k × skew summary (both report halves)
+    * ``dedup_exact_profile``   = dedup_exact ⋈ exact_duplicates (r5)
+    * ``text_lang_fingerprint`` = language_id ⋈ fingerprint (r5)
+    * ``ann_lsh_probe``         = single-probe ∪ multi-probe LSH top-k (r5)
+    * ``url_canonicalize``      = canonicalize ⋈ domain_cap kept-set (r5)
+    * ``corpus_decontam``       = decontaminate ∪ contaminated_train_docs (r5)
+    * ``emb_quantized_topk``    = quantized top-k × quantization audit (r5)
+    * ``corpus_split_mix``      = split ∪ sample ∪ mix memberships (r5)
     """
     return {
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -811,18 +921,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_revenue": q_tpch_q6_revenue,
         "ev_sessionize": q_ev_sessionize,
         "ev_daily_rollup": q_ev_daily_rollup,
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_keep_first": q_dedup_keep_first,
+        "dedup_exact_profile": q_dedup_exact_profile,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
+        "text_lang_fingerprint": q_text_lang_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ann_lsh_probe": q_ann_lsh_probe,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_metadata": q_media_metadata,
@@ -835,6 +942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "hot_keys_profile": q_hot_keys_profile,
         "url_canonicalize": q_url_canonicalize,
+        "corpus_decontam": q_corpus_decontam,
+        "emb_quantized_topk": q_emb_quantized_topk,
+        "corpus_split_mix": q_corpus_split_mix,
     }
 
 
@@ -1229,7 +1339,7 @@ def _url_canonicalize_oracle_sql() -> str:
         ), c1 AS (
           SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS u FROM m
         ), c2 AS (
-          SELECT doc_id,
+          SELECT doc_id, url,
                  regexp_replace(
                    regexp_replace(
                      lower(regexp_extract(u, '{sa}', 1)),
@@ -1238,13 +1348,31 @@ def _url_canonicalize_oracle_sql() -> str:
                  || regexp_replace(u, '{sa_bare}', '') AS u2,
                  lower(regexp_extract(trim(url), '{host_re}', 1)) AS host
           FROM c1
+        ), c3 AS (
+          SELECT doc_id, url,
+                 regexp_replace(regexp_replace(u2, '^([^?]*)\\?$', '\\1'),
+                                '^([a-z][a-z0-9+.-]*://[^/?]+)/$', '\\1')
+                   AS url_canonical,
+                 host,
+                 {registered_domain_sql("host")} AS domain
+          FROM c2
+        ), keyed AS (
+          -- domain_cap's grouping-key fallback chain: registered domain
+          -- (non-IP), else host, else the raw url
+          SELECT *, CASE WHEN domain <> '' AND NOT regexp_matches(host,
+                              '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$')
+                         THEN domain
+                         WHEN host <> '' THEN host
+                         ELSE url END AS capkey
+          FROM c3
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY capkey ORDER BY
+                      ('0x' || substr(md5(url), 1, 12))::BIGINT ASC,
+                      doc_id ASC) AS rn
+          FROM keyed
         )
-        SELECT doc_id,
-               regexp_replace(regexp_replace(u2, '^([^?]*)\\?$', '\\1'),
-                              '^([a-z][a-z0-9+.-]*://[^/?]+)/$', '\\1') AS url_canonical,
-               host,
-               {registered_domain_sql("host")} AS domain
-        FROM c2
+        SELECT doc_id, url_canonical, host, domain, rn <= 50 AS kept_by_cap
+        FROM ranked
     """
 
 
@@ -1295,6 +1423,194 @@ def _pii_oracle_sql() -> str:
     return (
         sql.replace("@EMAIL@", EMAIL_RE).replace("@IP@", IPV4_RE).replace("@PHONE@", PHONE_RE)
     )
+
+
+_NAMED_SHINGLES_SQL = """
+{name}_words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM ({src})
+),
+{name}_pos AS (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w) - {k} + 1, 1) + 1)) AS i
+  FROM {name}_words
+),
+{name}_sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, i + {k} - 1), ' ') AS shingle
+  FROM {name}_pos
+  WHERE length(array_to_string(list_slice(w, i, i + {k} - 1), ' ')) > 0
+)
+"""
+
+
+def _corpus_decontam_oracle_sql(k: int = 3, threshold: float = 0.5, max_df: int = 1000) -> str:
+    """DuckDB mirror of q_corpus_decontam: the planted eval set (12-word
+    prefixes of every 37th doc + alien docs), the capped train vocabulary,
+    the per-eval audit (decontaminate) and the train-side drop list
+    (contaminated_train_docs) — exact-integer round-half-up fractions."""
+    eval_src = r"""
+        SELECT doc_id,
+               array_to_string(list_slice(
+                   string_split_regex(lower(trim(text)), '\s+'), 1, 12), ' ') AS text
+        FROM documents WHERE doc_id % 37 = 0
+        UNION ALL
+        SELECT doc_id + 500000 AS doc_id, text FROM (
+          SELECT doc_id,
+                 array_to_string(list_transform(range(0, 25),
+                     i -> 'zq' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)),
+                     ' ') AS text
+          FROM documents WHERE doc_id % 41 = 0
+        )
+    """
+    frac = "((20000::HUGEINT * coalesce(m.n_matched, 0) + s.n_shingles) // (2 * s.n_shingles)) / 10000.0"
+    return (
+        "WITH "
+        + _NAMED_SHINGLES_SQL.format(name="t", src="SELECT doc_id, text FROM documents", k=k)
+        + ", "
+        + _NAMED_SHINGLES_SQL.format(name="e", src=eval_src, k=k)
+        + f"""
+        , vocab AS (
+          SELECT shingle FROM t_sh GROUP BY shingle HAVING count(*) <= {max_df}
+        ), t_capped AS (
+          SELECT doc_id, shingle FROM t_sh SEMI JOIN vocab USING (shingle)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_shingles FROM e_sh GROUP BY doc_id
+        ), matched AS (
+          SELECT doc_id, count(*) AS n_matched
+          FROM e_sh SEMI JOIN vocab USING (shingle)
+          GROUP BY doc_id
+        ), esz AS (
+          SELECT doc_id AS eid, count(*) AS n FROM e_sh GROUP BY doc_id
+        ), inter AS (
+          SELECT t.doc_id, e.doc_id AS eid, count(*) AS i
+          FROM t_capped t JOIN e_sh e USING (shingle)
+          GROUP BY t.doc_id, e.doc_id
+        ), cov AS (
+          SELECT doc_id, ((20000::HUGEINT * i + n) // (2 * n)) / 10000.0 AS c
+          FROM inter JOIN esz USING (eid)
+        )
+        SELECT 'eval_audit' AS variant, s.doc_id,
+               CAST(s.n_shingles AS BIGINT) AS n1,
+               CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n2,
+               {frac} AS frac,
+               {frac} >= {threshold} AS flag
+        FROM sizes s LEFT JOIN matched m USING (doc_id)
+        UNION ALL
+        SELECT 'train_drop' AS variant, doc_id,
+               CAST(count(*) AS BIGINT) AS n1,
+               CAST(NULL AS BIGINT) AS n2,
+               max(c) AS frac,
+               TRUE AS flag
+        FROM cov WHERE c >= {threshold}
+        GROUP BY doc_id
+        """
+    )
+
+
+def _emb_quantized_topk_oracle_sql(k: int = 5) -> str:
+    """DuckDB mirror of q_emb_quantized_topk: per-vector SQ8 quantization
+    (scale = max|v|/127, round-half codes clamped to ±127), integer-weighted
+    cosine top-k for the 8 query vectors, and the one-row reconstruction
+    audit cross-joined on.  Every sum left-folds in double (the _fold
+    pattern) so scores and errors agree bit-for-bit."""
+    fold_sum = "list_reduce(list_prepend((0.0)::DOUBLE, {xs}), (acc, e) -> acc + e)"
+    fold_max = "list_reduce(list_prepend((0.0)::DOUBLE, {xs}), (acc, e) -> greatest(acc, e))"
+    amax = fold_max.format(xs="list_transform(v, x -> abs(x))")
+    dot = fold_sum.format(
+        xs="list_transform(list_zip(q.v, c.qv), p -> p[1] * CAST(p[2] AS DOUBLE))"
+    )
+    qnorm = "sqrt(" + fold_sum.format(xs="list_transform(v, x -> x * x)") + ")"
+    cnorm = (
+        "sqrt("
+        + fold_sum.format(xs="list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+        + ")"
+    )
+    err = "list_transform(list_zip(v, qv), p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale))"
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), qz AS (
+          SELECT vec_id, v, {amax} / 127.0 AS scale FROM base
+        ), codes AS (
+          SELECT vec_id, v, scale,
+                 list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                     ELSE greatest(-127, least(127, CAST(round(x / scale, 0) AS INTEGER)))
+                 END) AS qv
+          FROM qz
+        ), corpus AS (
+          SELECT vec_id AS neighbor_id, qv, scale, {cnorm} AS cn FROM codes
+        ), q AS (
+          SELECT vec_id AS query_id, v, {qnorm} AS qn FROM base WHERE vec_id < 8
+        ), scored AS (
+          SELECT q.query_id, c.neighbor_id,
+                 CASE WHEN q.qn > 0 AND c.cn > 0 AND c.scale > 0
+                      THEN {dot} / (q.qn * c.cn) ELSE 0.0 END AS cos_sim
+          FROM q CROSS JOIN corpus c
+          WHERE q.query_id <> c.neighbor_id
+        ), topk AS (
+          SELECT query_id, neighbor_id, round(cos_sim, 4) AS cos_sim, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+          ) WHERE rank <= {k}
+        ), per AS (
+          SELECT {fold_max.format(xs="err")} AS max_err,
+                 {fold_sum.format(xs="err")} / greatest(len(v), 1) AS mean_err,
+                 scale / 2 AS half_step
+          FROM (SELECT v, scale, {err} AS err FROM codes)
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                 round(max(max_err), 6) AS worst_abs_err,
+                 round(avg(mean_err), 6) AS mean_abs_err,
+                 round(max(half_step), 6) AS max_half_step
+          FROM per
+        )
+        SELECT topk.*, stats.* FROM topk, stats
+    """
+
+
+def _corpus_split_mix_oracle_sql() -> str:
+    """DuckDB mirror of q_corpus_split_mix: the shared md5 hash slot
+    ('seed:' || id, first 12 hex digits mod 1e6), split boundaries 8/1/1 ->
+    [800000, 900000), sample threshold 250000, and corpus_mix({en:7,rest:3})
+    thresholds in EXACT integer arithmetic (min-budget floor on the 1e6
+    grid), matching corpus_mix's Fraction math."""
+
+    def slot(seed: str) -> str:
+        return (
+            f"('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT"
+            " % 1000000"
+        )
+
+    return f"""
+        WITH counts AS (
+          SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+                 CAST(sum(CASE WHEN lang IS NOT NULL AND lang <> 'en' THEN 1 ELSE 0 END)
+                      AS HUGEINT) AS nb
+          FROM documents
+        ), thr AS (
+          SELECT CASE WHEN 3 * na <= 7 * nb THEN 1000000::HUGEINT
+                      ELSE (1000000::HUGEINT * 7 * nb) // (3 * na) END AS t_en,
+                 CASE WHEN 7 * nb <= 3 * na THEN 1000000::HUGEINT
+                      ELSE (1000000::HUGEINT * 3 * na) // (7 * nb) END AS t_rest
+          FROM counts
+        )
+        SELECT 'split' AS variant, doc_id,
+               CASE WHEN {slot("split")} < 800000 THEN 'train'
+                    WHEN {slot("split")} < 900000 THEN 'val'
+                    ELSE 'test' END AS label
+        FROM documents
+        UNION ALL
+        SELECT 'sample' AS variant, doc_id, 'kept' AS label
+        FROM documents WHERE {slot("sample")} < 250000
+        UNION ALL
+        SELECT 'mix' AS variant, doc_id, 'en' AS label
+        FROM documents, thr
+        WHERE lang = 'en' AND {slot("mix:en")} < t_en
+        UNION ALL
+        SELECT 'mix' AS variant, doc_id, 'rest' AS label
+        FROM documents, thr
+        WHERE lang IS NOT NULL AND lang <> 'en' AND {slot("mix:rest")} < t_rest
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1552,17 +1868,22 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 4) AS avg_value
             FROM events GROUP BY 1, 2
         """,
-        "dedup_exact_groups": f"""
-            SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper
-            FROM ({_DOCS_DUPS_SQL})
-            GROUP BY 1 HAVING count(*) > 1
-        """,
-        "dedup_keep_first": f"""
-            SELECT doc_id FROM (
-              SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
-                                                ORDER BY doc_id ASC) AS rn
-              FROM ({_DOCS_DUPS_SQL})
-            ) WHERE rn = 1
+        "dedup_exact_profile": f"""
+            WITH d AS ({_DOCS_DUPS_SQL}),
+            kept AS (
+              SELECT doc_id, md5(text) AS digest FROM (
+                SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text)
+                                                        ORDER BY doc_id ASC) AS rn
+                FROM d
+              ) WHERE rn = 1
+            ), g AS (
+              SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper
+              FROM d GROUP BY 1 HAVING count(*) > 1
+            )
+            SELECT kept.doc_id, kept.digest,
+                   coalesce(g.n_docs, 1) AS n_docs,
+                   coalesce(g.keeper, kept.doc_id) AS keeper
+            FROM kept LEFT JOIN g USING (digest)
         """,
         "dedup_minhash_lsh": _minhash_oracle_sql(num_hashes=8, bands=4, max_bucket=64),
         "dedup_ngram_jaccard": (
@@ -1612,7 +1933,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS drop_reason
             FROM q
         """,
-        "text_langid": r"""
+        "text_lang_fingerprint": r"""
             WITH m AS (
               SELECT doc_id,
                      list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -1625,24 +1946,27 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter(words, x -> x IN ('le','et','les'))) AS fr,
                      len(list_filter(words, x -> x IN ('el','y','los'))) AS es
               FROM m
+            ), lang AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                          WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                          WHEN es = greatest(en, de, fr, es) THEN 'es'
+                          WHEN en = greatest(en, de, fr, es) THEN 'en'
+                          ELSE 'de' END AS pred_lang,
+                     CAST(greatest(en, de, fr, es) AS BIGINT) AS marker_hits
+              FROM h
+            ), fp AS (
+              SELECT doc_id,
+                     md5(text) AS digest,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS digest_norm,
+                     md5(array_to_string(list_slice(
+                         string_split_regex(lower(trim(text)), '\s+'), 1, 8), ' '))
+                       AS digest_head
+              FROM documents
             )
-            SELECT doc_id,
-                   CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
-                        WHEN fr = greatest(en, de, fr, es) THEN 'fr'
-                        WHEN es = greatest(en, de, fr, es) THEN 'es'
-                        WHEN en = greatest(en, de, fr, es) THEN 'en'
-                        ELSE 'de' END AS pred_lang,
-                   CAST(greatest(en, de, fr, es) AS BIGINT) AS marker_hits
-            FROM h
-        """,
-        "text_fingerprint": r"""
-            SELECT doc_id,
-                   md5(text) AS digest,
-                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest_norm,
-                   md5(array_to_string(list_slice(
-                       string_split_regex(lower(trim(text)), '\s+'), 1, 8), ' '))
-                     AS digest_head
-            FROM documents
+            SELECT doc_id, pred_lang, marker_hits, digest, digest_norm, digest_head
+            FROM lang JOIN fp USING (doc_id)
         """,
         "ann_cosine_topk": """
             WITH q AS (
@@ -1660,8 +1984,15 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 5
         """,
-        "ann_lsh_topk": _ann_lsh_oracle_sql(n_planes=6, k=5, seed=42),
-        "ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle_sql(n_planes=6, n_probe=4, k=5, seed=42),
+        "ann_lsh_probe": f"""
+            SELECT 'single' AS variant, * FROM (
+              {_ann_lsh_oracle_sql(n_planes=6, k=5, seed=42)}
+            )
+            UNION ALL
+            SELECT 'multi' AS variant, * FROM (
+              {_ann_lsh_multiprobe_oracle_sql(n_planes=6, n_probe=4, k=5, seed=42)}
+            )
+        """,
         "ann_ivf_topk": _ivf_oracle_sql(n_cells=8, n_probe=2, k=5, seed=42),
         "dedup_embedding_cosine": _embedding_near_dup_oracle_sql(
             threshold=0.95, n_tables=3, planes_per_table=4, seed=42
@@ -1770,6 +2101,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_pii_scrub": _pii_oracle_sql(),
         "url_canonicalize": _url_canonicalize_oracle_sql(),
+        "corpus_decontam": _corpus_decontam_oracle_sql(k=3, threshold=0.5, max_df=1000),
+        "emb_quantized_topk": _emb_quantized_topk_oracle_sql(k=5),
+        "corpus_split_mix": _corpus_split_mix_oracle_sql(),
         # the ratio columns are rounded in EXACT integer space (HUGEINT
         # round-half-up, mirroring profiling.hot_key_report's decimal `div`)
         # instead of round()-on-double, which lands on representation

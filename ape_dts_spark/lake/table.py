@@ -231,6 +231,19 @@ class LakeTable:
     ) -> "LakeTable":
         if LakeTable.exists(path):
             raise FileExistsError(f"table already committed at {path}")
+        # A pre-existing path is adopted ONLY when it looks like a resumable
+        # half-made layout (a crashed earlier create: no committed manifest,
+        # no stray entries).  Silently scaffolding into an existing directory
+        # with unrelated content (a typo'd path) would write table data over
+        # someone else's files (r4 ADVICE) — fail loudly instead.
+        if os.path.isdir(path):
+            allowed = {"_meta", "data"}
+            stray = set(os.listdir(path)) - allowed
+            if stray:
+                raise FileExistsError(
+                    f"refusing to adopt {path}: existing non-table entries "
+                    f"{sorted(stray)[:5]} (not a resumable half-made layout)"
+                )
         # exist_ok=True: a crash between these mkdirs and the first manifest
         # publish must be RESUMABLE — with exist_ok=False the retry finds
         # exists() False (no committed v0) yet makedirs raising, bricking the

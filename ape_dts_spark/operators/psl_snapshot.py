@@ -17,9 +17,12 @@ suffix rules at publicsuffix.org (ICANN section), checked in as data so:
 
 Scope (documented, deliberate):
 
-* plain 2-label and 3-label rules only — wildcard (`*.ck`) and exception
-  (`!www.ck`) rules are NOT modeled; hosts under those TLDs fall back to
-  the 2-label default.
+* plain 2-label and 3-label rules, plus TLD-level wildcard rules (`*.ck`:
+  any single label under the TLD is itself a public suffix, so the
+  registered domain is the last THREE labels) and their 2-label exception
+  rules (`!www.ck`: carved back out of the wildcard, registrable as-is).
+  Deeper wildcards (`*.kawasaki.jp` style) are NOT modeled; hosts under
+  those degrade to the 2-label default.
 * the snapshot covers the high-traffic ccTLD registries (uk/au/nz/jp/br/
   cn/in/za/kr/... plus US state suffixes); an unlisted suffix degrades to
   the 2-label default — the same answer the pre-PSL heuristic gave, never
@@ -135,6 +138,16 @@ PSL_2LABEL: tuple[str, ...] = (
     "ca.us", "fl.us", "il.us", "ma.us", "mi.us", "ny.us", "oh.us",
     "pa.us", "tx.us", "wa.us",
 )
+
+#: TLD-level wildcard rules (`*.<tld>` in the PSL): EVERY single label under
+#: the TLD is a public suffix, so the registered domain is the last THREE
+#: labels (and a bare 2-label host under them has no registrable domain).
+PSL_WILDCARD_TLD: tuple[str, ...] = ("ck", "er", "fk")
+
+#: exception rules (`!` in the PSL): carved back OUT of a wildcard — the
+#: named 2-label host IS registrable as-is (and is the registered domain of
+#: everything below it).
+PSL_EXCEPTION_2LABEL: tuple[str, ...] = ("www.ck",)
 
 #: 3-label public suffixes: registered domain = last FOUR labels.
 PSL_3LABEL: tuple[str, ...] = (

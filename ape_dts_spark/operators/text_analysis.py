@@ -378,20 +378,30 @@ def corpus_mix(
 
     The binding constraint is the scarcest source relative to its target
     share: total = min over s of count(s) / share(s); every source is then
-    Bernoulli-sampled (deterministic_sample, per-source seed) to
+    Bernoulli-thinned (the md5 hash slot, per-source seed) to
     total * share(s) of its rows.  The scarce source keeps everything, the
     abundant ones are thinned — the standard pre-training mix recipe,
     reproducible across runs and cluster sizes.  One count() per source is
     the only eager work; the sampled union stays lazy.
+
+    The slot thresholds are computed in EXACT rational arithmetic
+    (fractions.Fraction, floor to the 1e-6 slot grid) — never a float
+    product — so with integer/rational weights any SQL engine reproduces
+    the kept set bit-for-bit from the same counts:
+    thr(s) = floor(1e6 * budget * share(s) / count(s)), budget =
+    min_m(count(m)/share(m)).  That is what lets the driver oracle
+    value-check mix MEMBERSHIP, not just proportions.
     """
+    from fractions import Fraction
+
     if set(sources) != set(weights):
         raise ValueError("sources and weights must carry the same names")
     if not sources:
         raise ValueError("at least one source required")
-    total_w = float(sum(weights.values()))
-    if total_w <= 0 or any(w < 0 for w in weights.values()):
+    if sum(weights.values()) <= 0 or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative, sum > 0")
-    share = {n: w / total_w for n, w in weights.items()}
+    total_w = sum(Fraction(w) for w in weights.values())
+    share = {n: Fraction(w) / total_w for n, w in weights.items()}
     # zero-weight sources contribute no rows — skip even counting them
     live = [n for n in sources if share[n] > 0]
     counts = {n: sources[n].count() for n in live}
@@ -403,12 +413,12 @@ def corpus_mix(
             f"positive-weight source(s) with zero rows: {empty}; "
             "drop them from the mix or give them weight 0"
         )
-    budget = min(counts[n] / share[n] for n in live)
+    budget = min(Fraction(counts[n]) / share[n] for n in live)
     out = None
     for n in live:
-        frac = min(1.0, (budget * share[n]) / counts[n]) if counts[n] else 0.0
-        part = deterministic_sample(
-            sources[n], frac, id_col=id_col, seed=f"{seed}:{n}"
+        thr = min(1_000_000, int(1_000_000 * budget * share[n] / counts[n]))
+        part = sources[n].filter(
+            _hash_slot(id_col, f"{seed}:{n}") < F.lit(thr)
         ).withColumn("source", F.lit(n))
         out = part if out is None else out.unionByName(part)
     return out

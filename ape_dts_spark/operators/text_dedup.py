@@ -29,6 +29,32 @@ def _norm_words(col):
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
+#: Spark byte-string suffix multipliers (JavaUtils.byteStringAsBytes).
+_BYTE_SUFFIXES = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _byte_string(raw, default: int = 134217728) -> int:
+    """Parse a Spark size conf value ('134217728', '128m', '1g') to bytes.
+
+    Mirrors JavaUtils.byteStringAsBytes for the suffixes Spark accepts;
+    digit-stripping would turn '128m' into 128 BYTES and silently collapse
+    the small-input threshold (ADVICE r4)."""
+    s = str(raw).strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, suf = s[:i], s[i:].strip()
+    if not num or suf not in _BYTE_SUFFIXES:
+        return default
+    return int(num) * _BYTE_SUFFIXES[suf]
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure explode-heavy work runs at session parallelism.
 
@@ -62,11 +88,40 @@ def _spread(df: DataFrame) -> DataFrame:
     except Exception:
         return df  # stats unavailable -> leave the plan untouched
     raw = sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    digits = "".join(ch for ch in str(raw) if ch.isdigit())
-    max_pb = int(digits) if digits else 134217728  # "128m"-style -> best effort
+    max_pb = _byte_string(raw)
     if size < target * max_pb:
         return df.repartition(target)
     return df
+
+
+def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop every row whose key occurs more than ``cap`` times — WITHOUT a
+    window.
+
+    ``count() OVER (PARTITION BY key)`` gets no partial aggregation and
+    cannot be skew-split by AQE: every row of the hot key must co-locate on
+    ONE task before the filter discards it, so the 10^8-row boilerplate
+    megakey this cap exists to neutralize first lands whole on a single
+    task (straggler/OOM at 10^10-doc scale).  Instead:
+
+      1. ``groupBy(key).count()`` — map-side partial aggregation reduces the
+         megakey to ONE row per map task before the shuffle;
+      2. keep only keys over the cap (the hot-key list is tiny by
+         construction: at most ``|df| / cap`` keys, in practice a handful);
+      3. ``left_anti`` join the list back.  AQE turns this into a broadcast
+         anti-join when the list is small (the normal case: zero probe-side
+         shuffle) and can skew-SPLIT the left side of a sort-merge LeftAnti
+         when it is not — either way no task ever holds the whole megakey.
+
+    Output rows are IDENTICAL to the window form; oracle SQL is unchanged.
+    """
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_hk_n"))
+        .filter(F.col("_hk_n") > cap)
+        .select(*keys)
+    )
+    return df.join(hot, keys, "left_anti").select(*df.columns)
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -206,7 +261,9 @@ def lsh_candidate_pairs(
     megabucket is quadratic death.  Buckets above the cap are dropped whole
     (their members are byte-near-identical and are caught by the exact-dedup
     pass); the drop is deterministic, so SQL oracles mirror it with a
-    windowed count.  Set None to disable.
+    windowed count — the Spark side computes the same drop via
+    ``groupBy + left_anti`` (see ``_drop_hot_keys``) so the megabucket never
+    co-locates on one task.  Set None to disable.
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -217,12 +274,7 @@ def lsh_candidate_pairs(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
     if max_bucket is not None:
-        w = Window.partitionBy("band", "sig")
-        banded = (
-            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
-        )
+        banded = _drop_hot_keys(banded, ["band", "sig"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -267,12 +319,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("n") > 0)
     )
     if max_doc_freq is not None:
-        wdf = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(wdf))
-            .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
-        )
+        sh = _drop_hot_keys(sh, ["shingle"], max_doc_freq)
     l, r = sh.alias("l"), sh.alias("r")
     inter = (
         l.join(
@@ -452,13 +499,18 @@ def decontaminate(
     """
     train_sh = word_shingles(train, id_col, text_col, k)
     if max_doc_freq is not None:
-        wdf = Window.partitionBy("shingle")
-        train_sh = (
-            train_sh.withColumn("_df", F.count(F.lit(1)).over(wdf))
+        # The cap FUSES into the vocabulary aggregation: word_shingles is
+        # distinct-per-doc, so count(*) per shingle IS the doc frequency,
+        # and one map-side-combinable groupBy yields the capped vocab
+        # directly — no window (megakey never co-locates) and no join-back.
+        train_vocab = (
+            train_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
+            .select("shingle")
         )
-    train_vocab = train_sh.select("shingle").distinct()
+    else:
+        train_vocab = train_sh.select("shingle").distinct()
     eval_sh = word_shingles(evalset, id_col, text_col, k)
     sizes = (
         _spread(evalset)
@@ -516,12 +568,7 @@ def contaminated_train_docs(
     """
     train_sh = word_shingles(train, id_col, text_col, k)
     if max_doc_freq is not None:
-        wdf = Window.partitionBy("shingle")
-        train_sh = (
-            train_sh.withColumn("_df", F.count(F.lit(1)).over(wdf))
-            .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
-        )
+        train_sh = _drop_hot_keys(train_sh, ["shingle"], max_doc_freq)
     eval_sh = word_shingles(evalset, id_col, text_col, k).select(
         F.col(id_col).alias("_eid"), "shingle"
     )

@@ -64,6 +64,7 @@ def url_host(url_col):
 # the last N dot-separated labels; regexp_extract returns '' when the host
 # has fewer labels (both engines), which drives the edge cases below.
 _LAST = {
+    1: r"([^.]+)$",
     2: r"([^.]+\.[^.]+)$",
     3: r"([^.]+\.[^.]+\.[^.]+)$",
     4: r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$",
@@ -73,27 +74,42 @@ _LAST = {
 def registered_domain_from_host(host_col):
     """Public-suffix-aware registered domain of a (lowercased) host Column.
 
-    Resolution against the checked-in PSL snapshot (`psl_snapshot` — plain
-    2/3-label rules; see that module for scope): if the host's last three
-    labels form a listed suffix the registered domain is its last FOUR
-    labels, else if the last two do it is the last THREE, else the 2-label
-    default (every TLD is implicitly a suffix, the PSL's own fallback rule).
+    Resolution against the checked-in PSL snapshot (`psl_snapshot`; see that
+    module for scope), most-specific rule first — the PSL's own precedence:
+
+    1. exception rules (`!www.ck`): the named 2-label host is registrable
+       as-is -> last TWO labels;
+    2. listed 3-label suffixes -> last FOUR labels;
+    3. listed 2-label suffixes -> last THREE labels;
+    4. TLD wildcards (`*.ck`: any label under the TLD is a suffix)
+       -> last THREE labels;
+    5. default: every TLD is implicitly a suffix -> last TWO labels.
+
     Membership is a literal IN over the snapshot — whole-stage codegen, no
     join/UDF, identical on any SQL engine (`registered_domain_sql` emits the
     same literals for the DuckDB oracle).
 
     Edge cases (from regexp_extract's '' on no-match): a host that IS a
-    public suffix (e.g. 'co.uk') has no registrable domain -> ''; a dotless
-    host -> '' (unchanged from the pre-PSL behavior).
+    public suffix (e.g. 'co.uk', or 'bar.ck' under the wildcard) has no
+    registrable domain -> ''; a dotless host -> '' (unchanged from the
+    pre-PSL behavior).
     """
-    from ape_dts_spark.operators.psl_snapshot import PSL_2LABEL, PSL_3LABEL
+    from ape_dts_spark.operators.psl_snapshot import (
+        PSL_2LABEL,
+        PSL_3LABEL,
+        PSL_EXCEPTION_2LABEL,
+        PSL_WILDCARD_TLD,
+    )
 
+    last1 = F.regexp_extract(host_col, _LAST[1], 1)
     last2 = F.regexp_extract(host_col, _LAST[2], 1)
     last3 = F.regexp_extract(host_col, _LAST[3], 1)
     last4 = F.regexp_extract(host_col, _LAST[4], 1)
     return (
-        F.when(last3.isin(*PSL_3LABEL), last4)
+        F.when(last2.isin(*PSL_EXCEPTION_2LABEL), last2)
+        .when(last3.isin(*PSL_3LABEL), last4)
         .when(last2.isin(*PSL_2LABEL), last3)
+        .when(last1.isin(*PSL_WILDCARD_TLD), last3)
         .otherwise(last2)
     )
 
@@ -108,18 +124,27 @@ def registered_domain_sql(host_sql: str) -> str:
     """The DuckDB/ANSI spelling of registered_domain_from_host over the SQL
     expression `host_sql`, with the SAME psl_snapshot literals embedded —
     generated from one source of truth so the engines cannot drift."""
-    from ape_dts_spark.operators.psl_snapshot import PSL_2LABEL, PSL_3LABEL
+    from ape_dts_spark.operators.psl_snapshot import (
+        PSL_2LABEL,
+        PSL_3LABEL,
+        PSL_EXCEPTION_2LABEL,
+        PSL_WILDCARD_TLD,
+    )
 
     def _in(values: tuple[str, ...]) -> str:
         return ", ".join(f"'{v}'" for v in values)
 
     # DuckDB single-quoted literals keep backslashes verbatim — embed the
     # patterns as-is (no doubling)
-    l2, l3, l4 = _LAST[2], _LAST[3], _LAST[4]
+    l1, l2, l3, l4 = _LAST[1], _LAST[2], _LAST[3], _LAST[4]
     return (
-        f"CASE WHEN regexp_extract({host_sql}, '{l3}', 1) IN ({_in(PSL_3LABEL)}) "
+        f"CASE WHEN regexp_extract({host_sql}, '{l2}', 1) IN ({_in(PSL_EXCEPTION_2LABEL)}) "
+        f"THEN regexp_extract({host_sql}, '{l2}', 1) "
+        f"WHEN regexp_extract({host_sql}, '{l3}', 1) IN ({_in(PSL_3LABEL)}) "
         f"THEN regexp_extract({host_sql}, '{l4}', 1) "
         f"WHEN regexp_extract({host_sql}, '{l2}', 1) IN ({_in(PSL_2LABEL)}) "
+        f"THEN regexp_extract({host_sql}, '{l3}', 1) "
+        f"WHEN regexp_extract({host_sql}, '{l1}', 1) IN ({_in(PSL_WILDCARD_TLD)}) "
         f"THEN regexp_extract({host_sql}, '{l3}', 1) "
         f"ELSE regexp_extract({host_sql}, '{l2}', 1) END"
     )
@@ -145,9 +170,13 @@ def domain_cap(
 ) -> DataFrame:
     """Keep at most ``cap`` documents per registered domain — the standard
     web-corpus per-domain quota (stops boilerplate-heavy megadomains from
-    dominating a training mix).  Selection is deterministic: the kept docs
-    are the cap-lowest by (xxhash64(url), id) within the domain, so reruns
-    and different cluster sizes keep the SAME documents.
+    dominating a training mix).  Selection is deterministic AND
+    engine-portable: the kept docs are the cap-lowest by (md5-slot(url),
+    id) within the domain — the same md5 ranking any SQL engine reproduces
+    (('0x' || substr(md5(url),1,12))::BIGINT), which is what lets the
+    driver oracle value-check the exact kept set, not just the counts.
+    (md5 costs ~2x xxhash64 per row; one short-string hash per doc is noise
+    next to the text processing around it.)
 
     Scale shape: this is deliberately the PLAIN window + rank filter.  A
     megadomain does NOT funnel into one task, because Catalyst rewrites a
@@ -181,9 +210,8 @@ def domain_cap(
         .when(host != "", host)
         .otherwise(F.col(url_col))
     )
-    w = Window.partitionBy("_dom").orderBy(
-        F.xxhash64(F.col(url_col)).asc(), F.col(id_col).asc()
-    )
+    url_slot = F.conv(F.substring(F.md5(F.col(url_col)), 1, 12), 16, 10).cast("long")
+    w = Window.partitionBy("_dom").orderBy(url_slot.asc(), F.col(id_col).asc())
     return (
         docs.withColumn("_dom", key)
         .withColumn("_r", F.row_number().over(w))

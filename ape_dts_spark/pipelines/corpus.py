@@ -17,8 +17,10 @@ banded LSH (sub-quadratic), and decontamination is an eval-normalized
 coverage join (eval sets are benchmark-sized).  Laziness caveat: with
 ``near_dup=True`` (the default) the connected-components stage is
 iterative and MATERIALIZES the pipeline up to near-dup during the
-corpus_pipeline() call itself (the survivors are persisted so the sink
-action reuses that pass instead of recomputing); with near_dup=False the
+corpus_pipeline() call itself (the survivors are locally checkpointed so
+the sink action reuses that pass instead of recomputing — blocks are
+reclaimed automatically when the returned frame is GC'd, so repeated runs
+in one session do not accumulate cache); with near_dup=False the
 composition is fully lazy until the sink.
 
 Determinism: every stage keys its decisions on content hashes and ids, so
@@ -116,9 +118,16 @@ def corpus_pipeline(
     if near_dup:
         # connected_components is ITERATIVE — it materializes the pair list
         # (persist + count) during this call, forcing everything upstream.
-        # Persist the survivors first so that forced pass is reused by the
-        # sink action instead of recomputing canonicalize/cap/dedup twice.
-        out = out.persist()
+        # Checkpoint the survivors first so that forced pass is reused by
+        # the sink action instead of recomputing canonicalize/cap/dedup
+        # twice.  localCheckpoint (not persist): persist() pins the blocks
+        # in the CacheManager for the application lifetime unless the
+        # CALLER unpersists — repeated pipeline runs in one session
+        # accumulate cached partitions.  A checkpoint's blocks are owned by
+        # the RDD reference, so the ContextCleaner reclaims them once the
+        # returned frame is garbage-collected; eager=False keeps the
+        # materialization timing identical (first action = the CC stage).
+        out = out.localCheckpoint(eager=False)
         sig = minhash_signatures_fused(
             out, id_col, text_col, k=shingle_k, num_hashes=num_hashes
         )

@@ -30,6 +30,7 @@ schema.  DDL application is idempotent so replay after a crash is safe.
 from __future__ import annotations
 
 import json
+import logging
 import time
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
@@ -47,6 +48,8 @@ from ape_dts_spark.operators.dedup import (
 )
 from ape_dts_spark.operators.filters import ChangeFilter, Router
 from ape_dts_spark.operators.merge import merge_into
+
+_LOG = logging.getLogger(__name__)
 
 CHECKPOINT_COLS = [
     ("job_id", "string"),
@@ -499,17 +502,36 @@ class CdcEngine:
         # footer would silently null it into the sink.
         if not hasattr(self, "_changes_schema"):
             self._changes_schema = self._infer_changes_schema()
-        return self.spark.read.schema(self._changes_schema).parquet(self.cfg.changes_path)
+        sch = self._changes_schema
+        if isinstance(sch, list):
+            # unreconcilable footer mix (see _infer_changes_schema): one scan
+            # per footer group, cast to the shared target, union.  Group
+            # count is bounded by DDL count, so this is a handful of scans.
+            out = sch[0]
+            for part in sch[1:]:
+                out = out.unionByName(part)
+            return out
+        return self.spark.read.schema(sch).parquet(self.cfg.changes_path)
 
     def _infer_changes_schema(self):
         """Footer-MERGED inference: single-footer inference (mergeSchema off)
         reads whichever file Spark samples, so a stream whose later files
         carry DDL-added columns loses them.  When merging fails on numeric
         width mixes (a widen_column mid-stream leaves int32/int64 footers
-        that StructType.merge rejects), fall back to single-footer inference
-        reconciled by name: widen numerics to the sink schema's type and add
-        DDL-announced columns the sampled footer lacked — the explicit read
-        schema then decodes every file via Spark's parquet type promotion."""
+        that StructType.merge rejects), fall back to name-reconciled
+        inference over ALL footers: widen numerics to the sink schema's type
+        (the promote whitelist IS widen_column's _WIDEN_OK — a literal copy
+        here drifted, r4 ADVICE) and add DDL-announced columns the footers
+        lacked.  When every footer->target pair is one the parquet reader
+        promotes at scan time (everything in _WIDEN_OK except long->double,
+        which is lossy and refused) the result is a single explicit read
+        schema; otherwise returns a LIST of per-footer-group frames already
+        cast to the target — the same per-file-group cast the sink read path
+        uses — because no single read schema can decode an int64/double mix.
+
+        The footer listing is a driver-side pass over the stream's files,
+        but only on this exception path and cached once per engine (and
+        re-done after schema DDL); each footer is a kilobyte-range read."""
         try:
             return (
                 self.spark.read.option("mergeSchema", "true")
@@ -517,36 +539,119 @@ class CdcEngine:
                 .schema
             )
         except Exception:
-            from pyspark.sql import types as T
+            pass
+        from pyspark.sql import types as T
 
-            from ape_dts_spark.lake.table import spark_type
+        from ape_dts_spark.lake.table import _WIDEN_OK, spark_type
 
-            promote = {
-                ("integer", "long"),
-                ("integer", "double"),
-                ("integer", "float"),
-                ("float", "double"),
-            }
-            sch = self.spark.read.parquet(self.cfg.changes_path).schema
-            sink = {f["name"]: spark_type(f["type"]) for f in self.pages.schema.fields}
-            fields, seen = [], set()
-            for f in sch.fields:
-                t = sink.get(f.name, f.dataType)
-                if (f.dataType.typeName(), t.typeName()) not in promote:
-                    t = f.dataType
-                fields.append(T.StructField(f.name, t, True))
-                seen.add(f.name)
-            # columns an add_column DDL announced but the sampled footer
-            # predates (ONLY those: adding arbitrary sink columns would
-            # project phantom NULLs over real values in the merge)
-            for d in self._ddls:
-                if d["ddl_type"] != "add_column":
-                    continue
-                p = json.loads(d["payload"])
-                if p["col"] not in seen:
-                    fields.append(T.StructField(p["col"], spark_type(p["type"]), True))
-                    seen.add(p["col"])
-            return T.StructType(fields)
+        promote = {
+            (spark_type(a).typeName(), spark_type(b).typeName()) for a, b in _WIDEN_OK
+        }
+        # pairs Spark's parquet reader up-casts at scan time (probed on this
+        # engine: every _WIDEN_OK pair EXCEPT long->double, whose 64-bit
+        # mantissa cannot widen losslessly into double's 52)
+        reader_promote = promote - {("long", "double")}
+
+        sink = {f["name"]: spark_type(f["type"]) for f in self.pages.schema.fields}
+        groups = self._changes_footer_groups()
+        # target type per column: the sink's type when every footer type
+        # widens to it (or matches); otherwise the footer type itself
+        footer_types: dict[str, set] = {}
+        order: list[str] = []
+        for g_schema, _files in groups:
+            for f in g_schema.fields:
+                if f.name not in footer_types:
+                    footer_types[f.name] = set()
+                    order.append(f.name)
+                footer_types[f.name].add(f.dataType)
+        fields, seen = [], set()
+        for name in order:
+            cands = footer_types[name]
+            t = sink.get(name)
+            if t is None or not all(
+                ft == t or (ft.typeName(), t.typeName()) in promote for ft in cands
+            ):
+                # no widen target: keep the widest footer type (the one every
+                # other footer type promotes to), or the single type
+                t = next(
+                    (
+                        c
+                        for c in cands
+                        if all(
+                            o == c or (o.typeName(), c.typeName()) in promote
+                            for o in cands
+                        )
+                    ),
+                    next(iter(cands)),
+                )
+            fields.append(T.StructField(name, t, True))
+            seen.add(name)
+        # columns an add_column DDL announced but every footer predates
+        # (ONLY those: adding arbitrary sink columns would project phantom
+        # NULLs over real values in the merge)
+        for d in self._ddls:
+            if d["ddl_type"] != "add_column":
+                continue
+            p = json.loads(d["payload"])
+            if p["col"] not in seen:
+                fields.append(T.StructField(p["col"], spark_type(p["type"]), True))
+                seen.add(p["col"])
+        target = T.StructType(fields)
+        tmap = {f.name: f.dataType for f in target.fields}
+        if all(
+            ft == tmap[n] or (ft.typeName(), tmap[n].typeName()) in reader_promote
+            for n, cs in footer_types.items()
+            for ft in cs
+        ):
+            return target  # one scan decodes every file
+        parts = []
+        for g_schema, files in groups:
+            gtypes = {f.name: f.dataType for f in g_schema.fields}
+            # read with the target schema EXCEPT reader-unsupported columns,
+            # which stay at the footer type and are cast after the scan
+            read_fields = []
+            for f in target.fields:
+                ft = gtypes.get(f.name, f.dataType)
+                ok = ft == f.dataType or (
+                    (ft.typeName(), f.dataType.typeName()) in reader_promote
+                )
+                read_fields.append(T.StructField(f.name, f.dataType if ok else ft, True))
+            part = self.spark.read.schema(T.StructType(read_fields)).parquet(*files)
+            parts.append(
+                part.select(
+                    [F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+                )
+            )
+        return parts
+
+    def _changes_footer_groups(self):
+        """[(footer_schema, [files])] for the changes dir, grouped by footer
+        schema (distinct groups are bounded by the DDL count).  Driver-side
+        pyarrow footer reads — used only on the mixed-footer exception path."""
+        import pyarrow.parquet as pq
+
+        files = self.spark.read.parquet(self.cfg.changes_path).inputFiles()
+        groups: dict[str, list] = {}
+        schemas: dict[str, object] = {}
+        for uri in files:
+            path = uri[7:] if uri.startswith("file://") else uri
+            sch = self._footer_schema(pq, path)
+            key = sch.simpleString()
+            groups.setdefault(key, []).append(uri)
+            schemas[key] = sch
+        return [(schemas[k], v) for k, v in groups.items()]
+
+    @staticmethod
+    def _footer_schema(pq, path):
+        """Parquet footer -> Spark StructType via an empty-batch Arrow read
+        (pyarrow's types map 1:1 onto Spark's for the engine's column set)."""
+        from pyspark.sql.pandas.types import from_arrow_type
+        from pyspark.sql import types as T
+
+        arrow = pq.read_schema(path)
+        return T.StructType(
+            [T.StructField(f.name, from_arrow_type(f.type), True) for f in arrow]
+        )
 
     def max_lsn(self) -> int:
         row = self._changes().agg(F.max("lsn")).collect()[0]
@@ -674,13 +779,27 @@ class CdcEngine:
             # never resolves it) — an `except` around .get can't catch a hang.
             # Probe the JVM row non-blockingly first (getRowOrEmpty compiles
             # public from Scala's private[spark]); only then read .get.
-            try:
-                jopt = obs._jo.getRowOrEmpty()
-                # zero-task runs can also resolve to a schema-less EMPTY row,
-                # which .get cannot convert — treat it as unresolved too
-                resolved = (not jopt.isEmpty()) and jopt.get().length() > 0
-            except Exception:
-                resolved = False  # accessor unavailable: never risk blocking
+            # The accessor leans on private PySpark internals (obs._jo +
+            # getRowOrEmpty): if a Spark upgrade removes either, EVERY batch
+            # would silently pay the counted fallback's extra scan — probe
+            # once per engine, cache, and warn loudly the moment the
+            # fallback becomes the steady-state path (r4 ADVICE).
+            resolved = False
+            if getattr(self, "_obs_accessor_ok", True):
+                try:
+                    jopt = obs._jo.getRowOrEmpty()
+                    # zero-task runs can also resolve to a schema-less EMPTY
+                    # row, which .get cannot convert — unresolved too (this
+                    # is a per-batch condition, NOT an accessor failure)
+                    resolved = (not jopt.isEmpty()) and jopt.get().length() > 0
+                    self._obs_accessor_ok = True
+                except Exception:
+                    self._obs_accessor_ok = False
+                    _LOG.warning(
+                        "Observation.getRowOrEmpty accessor unavailable on "
+                        "this Spark build — every batch will now run an "
+                        "extra count job over its slice for input metrics"
+                    )
             if resolved:
                 got = obs.get
                 input_records = int(got["records"] or 0)

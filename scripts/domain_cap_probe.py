@@ -42,7 +42,10 @@ def two_phase_salted(docs, cap, salt=16, url_col="url", id_col="doc_id"):
     then exact rank — the same bounding WindowGroupLimit provides, but it
     costs a second Exchange."""
     dom = registered_domain(F.col(url_col))
-    rank_key = [F.xxhash64(F.col(url_col)).asc(), F.col(id_col).asc()]
+    # same deterministic md5-slot order the shipped operator uses (r5: was
+    # xxhash64; changed for engine portability) so selections stay comparable
+    url_slot = F.conv(F.substring(F.md5(F.col(url_col)), 1, 12), 16, 10).cast("long")
+    rank_key = [url_slot.asc(), F.col(id_col).asc()]
     lane = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
     w1 = Window.partitionBy("_dom", "_lane").orderBy(*rank_key)
     survivors = (

@@ -214,6 +214,14 @@ def orchestrate(workdir, n_seed, n_events):
                       f"{r['events_per_sec']} ev/s ({r['wall_sec']}s) canary={c0}M "
                       f"wbw={bw0}GB/s", flush=True)
     lo, hi = levels[0], levels[-1]
+    # Regression canary (r5, SURVEY §6 standing position): the 4->16 CDC
+    # efficiency question is CLOSED — every structural lever was probed and
+    # refuted with artifacts, and ~0.59-0.66 is the host's measured ceiling
+    # for this payload-write-bound stage.  These are the same-window probe
+    # baselines (BENCH/scaling_round4.json best values); a future round that
+    # lands >0.05 BELOW its baseline indicates an ENGINE regression (a new
+    # serial stage, a lost partial-agg), not host noise — alert loudly.
+    _EFF_BASELINE = {1: 0.59, 0: 0.485}
     summary = {}
     for extract in tuple(
         int(x) for x in os.environ.get("PROBE_EXTRACTS", "1,0").split(",")
@@ -228,10 +236,21 @@ def orchestrate(workdir, n_seed, n_events):
             }
         eff_best = (cells[hi]["best"] / cells[lo]["best"]) / (hi / lo)
         eff_med = (cells[hi]["median"] / cells[lo]["median"]) / (hi / lo)
+        base = _EFF_BASELINE.get(extract)
+        alert = base is not None and eff_best < base - 0.05
+        if alert:
+            print(
+                f"REGRESSION ALERT extract={extract}: efficiency_best "
+                f"{eff_best:.3f} is >0.05 below the r4 same-window baseline "
+                f"{base} — suspect an engine change, not the host",
+                flush=True,
+            )
         summary[f"extract{extract}"] = {
             "levels": {str(c): cells[c] for c in levels},
             "efficiency_best": round(eff_best, 3),
             "efficiency_median": round(eff_med, 3),
+            "baseline_efficiency_best": base,
+            "regression_alert": alert,
         }
         print(
             f"extract={extract}: eff {lo}->{hi} median={eff_med:.3f} best={eff_best:.3f} "

@@ -96,3 +96,24 @@ def test_corpus_pipeline_end_to_end(spark, raw_docs):
     assert {(r["doc_id"], r["split"]) for r in rows} == again
     # all input columns survive plus the two pipeline columns
     assert set(out.columns) == {"doc_id", "url", "text", "url_canonical", "split"}
+
+
+def test_corpus_pipeline_leaves_no_pinned_cache(spark, raw_docs):
+    """Repeated pipeline runs in one session must not accumulate cached
+    partitions (r4 leak: the near-dup arm persist()ed the survivor frame
+    into the CacheManager forever).  localCheckpoint blocks are owned by
+    the RDD reference, so nothing may remain REGISTERED in the
+    CacheManager after the run, and checkpoint blocks must be reclaimable
+    (GC'able) once the result reference drops."""
+    import gc
+
+    jsparkSession = spark._jsparkSession
+    assert jsparkSession.sharedState().cacheManager().isEmpty()
+    for _ in range(2):
+        out = corpus_pipeline(raw_docs, min_words=0, domain_cap_n=None)
+        assert out.count() > 0
+        # the deterministic leak signal: persist() registers in the
+        # CacheManager and stays; the checkpoint-based pipeline never does
+        assert jsparkSession.sharedState().cacheManager().isEmpty()
+        del out
+    gc.collect()
