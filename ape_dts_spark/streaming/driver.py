@@ -246,14 +246,21 @@ def emit_change_feed(
     write_change_feed(records, cfg.feed_path)
 
 
-def maybe_compact(spark: SparkSession, pages: LakeTable, cfg: "EngineConfig") -> bool:
+def maybe_compact(
+    spark: SparkSession, pages: LakeTable, cfg: "EngineConfig"
+) -> dict | None:
     """Incremental MOR maintenance: compact the hottest buckets (per-bucket
     delta fraction above cfg.compact_ratio), at most cfg.compact_max_buckets
     per call.  Bounded per-batch work — at 10^10 events a whole-table
     compaction is a multi-minute stall; per-bucket folding keeps the tail
-    latency flat while converging to the same state."""
+    latency flat while converging to the same state.
+
+    Returns the fold composition ({"buckets": n, "bytes_est": packed cost})
+    when a fold ran, else None — recorded in the batch log so a slow fold is
+    attributable (oversized single bucket vs packing underestimate vs host
+    window; r4 verdict item 6)."""
     if cfg.merge_mode != "mor" or cfg.compact_ratio <= 0:
-        return False
+        return None
     per = pages.delta_stats()["per_bucket"]
     cand = [
         (b, v["delta"])
@@ -261,7 +268,7 @@ def maybe_compact(spark: SparkSession, pages: LakeTable, cfg: "EngineConfig") ->
         if v["delta"] > 0 and v["delta"] > cfg.compact_ratio * (v["base"] + v["delta"])
     ]
     if not cand:
-        return False
+        return None
     cand.sort(key=lambda x: x[1], reverse=True)
     # greedy pack under the byte budget (fold cost ~ base+delta rewritten);
     # later, smaller buckets may still fit after a large one is skipped
@@ -277,7 +284,7 @@ def maybe_compact(spark: SparkSession, pages: LakeTable, cfg: "EngineConfig") ->
         sel.append(b)
         cost += fold_cost
     pages.compact(spark, buckets=sel)
-    return True
+    return {"buckets": len(sel), "bytes_est": cost}
 
 
 def historical_names(pages: LakeTable) -> dict[str, list[str]]:
@@ -876,7 +883,8 @@ class CdcEngine:
                 "feed_s": round(t_feed, 2),
                 "merge_s": round(t_merge, 2),
                 "compact_s": round(t_compact, 2),
-                "compacted": compacted,
+                "compacted": compacted is not None,
+                "compact_detail": compacted,
                 "bookkeep_s": round(
                     time.monotonic() - t0 - t_prep - t_feed - t_merge - t_compact, 2
                 ),

@@ -59,16 +59,39 @@ def main():
         shutil.rmtree(pp + sfx, ignore_errors=True)
     t = LakeTable.create(pp, PAGES_COLS, bucket_key="url", bucket_count=64)
     t.append(gen_pages_seed(s, n_seed, seed=42).withColumn("text", extract_text_udf(F.col("html"))))
+    # per-batch host-state canary (r4 verdict: the 10M run had a transient
+    # 16/23/26s merge bump at batches 9-11 that recovered fully — consistent
+    # with a hypervisor write-throttle window, but un-attributable without a
+    # per-batch bandwidth sample).  A small parallel tmpfs write after each
+    # checkpoint stamps the batch with the host's momentary write bandwidth:
+    # a slow batch with a low canary is the PLATFORM window; a slow batch
+    # with a healthy canary is the engine and should be flagged.
+    from bench import write_bw_canary
+
+    bw_by_batch: dict[int, float] = {}
+    canary_cost = [0.0]
+
+    def _canary_hook(stage, batch_id):
+        if stage == "post_checkpoint":
+            tc = time.monotonic()
+            bw_by_batch[batch_id] = write_bw_canary(procs=2, mb_each=128)
+            canary_cost[0] += time.monotonic() - tc
+
     cfg = EngineConfig(job_id="endurance", pages_path=pp, changes_path=f"{workdir}/changes",
-                       ddl_path=f"{workdir}/ddl", batch_lsn_width=n_events // n_batches)
+                       ddl_path=f"{workdir}/ddl", batch_lsn_width=n_events // n_batches,
+                       crash_hook=_canary_hook)
     eng = CdcEngine(s, cfg)
     t0 = time.monotonic()
     summ = eng.run()
-    wall = time.monotonic() - t0
+    # engine throughput excludes the canary's own write time (~0.1s/batch)
+    wall = time.monotonic() - t0 - canary_cost[0]
     n_files = len(t.refresh().manifest.files)
+    for entry in eng.batch_log:
+        entry["canary_wgbps"] = bw_by_batch.get(entry["batch_id"])
     print(json.dumps({
         "events": summ["events"], "batches": summ["batches"],
         "wall_sec": round(wall, 1), "events_per_sec": round(summ["events"] / wall, 1),
+        "canary_cost_sec": round(canary_cost[0], 1),
         "final_rows": t.read(s).count(), "live_data_files": n_files,
         "batch_log": eng.batch_log,
     }))

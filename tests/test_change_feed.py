@@ -1,7 +1,9 @@
 """Change-feed sink (KafkaSinker analog) + to_sql renderer tests."""
 
 import json
+import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from ape_dts_spark.operators.change_feed import (
@@ -171,3 +173,35 @@ def test_parse_feed_frame_transport_independent(spark):
     assert rows[5].op == "update" and rows[5].url == "u1" and rows[5].lang == "en"
     # delete: key recovered into the key col, payload NULL
     assert rows[6].op == "delete" and rows[6].url == "u2" and rows[6].lang is None
+
+
+@pytest.mark.skipif(
+    not os.environ.get("BROKER_URL"),
+    reason="no Kafka broker in this sandbox (set BROKER_URL=host:port to enable)",
+)
+def test_kafka_broker_roundtrip_when_available(spark, tmp_path):
+    """Real-broker integration (env-gated; skipped by default): write the
+    keyed change feed to Kafka and read it back through the streaming
+    source + shared envelope parse.  If a future environment provides a
+    broker (and the spark-sql-kafka connector jar), this lights up the
+    gated paths in change_feed.py without code changes."""
+    from ape_dts_spark.operators.change_feed import read_kafka_stream, write_kafka
+
+    broker = os.environ["BROKER_URL"]
+    topic = "ape_dts_spark_it"
+    ch = gen_changes(spark, 50, 20, seed=7)
+    records = change_feed_records(ch, topic_prefix="it", key_col="url")
+    write_kafka(records.withColumn("topic", F.lit(topic)), broker)
+    parsed = read_kafka_stream(
+        spark, broker, topic, "url string, lang string", key_col="url",
+        startingOffsets="earliest",
+    )
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("kafka_it")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM kafka_it").collect()[0]["n"]
+    assert got == 50
