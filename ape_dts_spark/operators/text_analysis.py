@@ -422,3 +422,73 @@ def corpus_mix(
         ).withColumn("source", F.lit(n))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_docs: int = 10,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: drop every LINE that
+    appears (normalized) in more than ``max_line_docs`` distinct documents —
+    nav bars, cookie banners, footers — and reassemble each document from
+    its surviving lines in order.
+
+    -> (id, text_clean, n_lines, n_kept): documents whose lines are ALL
+    boilerplate come back with text_clean = '' (the caller's quality filter
+    drops them).  Lines are normalized for the frequency count
+    (lower + trim + whitespace-collapse) but reassembled VERBATIM, so
+    surviving content is byte-identical to the input.
+
+    Scale shape (the r5 cap pattern, not a window): per-line doc frequency
+    is a groupBy on the normalized-line hash — map-side partial aggregation
+    reduces "click here to accept cookies" x 10^9 docs to one row per map
+    task — and the over-threshold line list (tiny by construction: at most
+    |lines| / max_line_docs entries) anti-joins back, which AQE turns into
+    a broadcast.  posexplode keeps (doc, line_no) so reassembly is a
+    groupBy(doc) over sort_array — one shuffle each side, no quadratic
+    term, no Python.  Deterministic and engine-portable (md5 line hash):
+    the DuckDB oracle reproduces every kept line.
+    """
+    lines = _spread(docs).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("line_no", "line"),
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("line"))), r"\s+", " ")
+    keyed = lines.withColumn("_h", F.md5(norm)).withColumn(
+        "_skip", F.length(F.trim(F.col("line"))) < min_line_chars
+    )
+    # doc frequency per normalized line: distinct docs, not occurrences — a
+    # page repeating its own footer 3x is one vote
+    hot = (
+        keyed.filter(~F.col("_skip"))
+        .select("_h", id_col)
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_line_docs)
+        .select("_h")
+    )
+    kept = keyed.join(hot, ["_h"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("line_no"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = _spread(docs).select(
+        F.col(id_col), F.size(F.split(F.col(text_col), r"\n")).alias("n_lines")
+    )
+    return (
+        totals.join(reassembled, id_col, "left")
+        .na.fill({"text_clean": "", "n_kept": 0})
+        .select(id_col, "text_clean", "n_lines", F.col("n_kept").cast("long").alias("n_kept"))
+    )

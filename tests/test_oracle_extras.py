@@ -220,3 +220,88 @@ def test_canonicalize_cross_engine_on_url_soup(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_line_dedup_matches_duckdb_oracle(spark):
+    """CCNet-style line-level boilerplate removal: planted cookie-banner /
+    nav lines on half the corpus must be dropped everywhere (doc frequency
+    over the cap), unique lines kept verbatim, documents reassembled in
+    line order — value-compared against the DuckDB spelling of the same
+    plan."""
+    from ape_dts_spark.operators.text_analysis import line_dedup
+
+    max_df, min_chars = 10, 1
+    boiler = "Accept  COOKIES to continue\nHome | About | Contact"
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.col("text"), F.lit("\n" + boiler)),
+            ).otherwise(F.col("text")),
+        )
+    )
+    got = (
+        line_dedup(docs, max_line_docs=max_df, min_line_chars=min_chars)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW raw AS SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    )
+    sql = rf"""
+        WITH docs AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN text || chr(10) || 'Accept  COOKIES to continue'
+                           || chr(10) || 'Home | About | Contact'
+                      ELSE text END AS text
+          FROM raw
+        ), lines AS (
+          SELECT doc_id, ln - 1 AS line_no, line FROM (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS ln
+            FROM docs)
+        ), keyed AS (
+          SELECT doc_id, line_no, line,
+                 md5(regexp_replace(lower(trim(line)), '\s+', ' ', 'g')) AS h,
+                 length(trim(line)) < {min_chars} AS skip
+          FROM lines
+        ), hot AS (
+          SELECT h FROM (SELECT DISTINCT h, doc_id FROM keyed WHERE NOT skip)
+          GROUP BY h HAVING count(*) > {max_df}
+        ), kept AS (
+          SELECT * FROM keyed ANTI JOIN hot USING (h)
+        ), re AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text_clean,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        ), tot AS (
+          SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM docs
+        )
+        SELECT t.doc_id, coalesce(re.text_clean, '') AS text_clean,
+               t.n_lines, coalesce(re.n_kept, 0) AS n_kept
+        FROM tot t LEFT JOIN re USING (doc_id)
+        ORDER BY t.doc_id
+    """
+    want = con.execute(sql).df()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["text_clean"]) == list(want["text_clean"])
+    assert list(got["n_lines"]) == list(want["n_lines"].astype(int))
+    assert list(got["n_kept"]) == list(want["n_kept"].astype(int))
+    # planted structure: the boilerplate lines are gone from every doc...
+    joined = "\n".join(got["text_clean"])
+    assert "Accept  COOKIES to continue" not in joined
+    assert "Home | About | Contact" not in joined
+    # ...original (odd) docs are byte-identical, even docs lost ONLY the plant
+    orig = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect()
+    }
+    by = dict(zip(got["doc_id"], got["text_clean"]))
+    assert by[1] == orig[1]
+    assert by[0] == orig[0]
