@@ -37,7 +37,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ape_dts_spark.operators.dedup_clusters import cluster_keep_list, connected_components
-from ape_dts_spark.operators.text_analysis import deterministic_split, quality_filter
+from ape_dts_spark.operators.text_analysis import (
+    deterministic_split,
+    line_dedup,
+    quality_filter,
+)
 from ape_dts_spark.operators.text_dedup import (
     contaminated_train_docs,
     dedup_exact,
@@ -63,6 +67,7 @@ def corpus_pipeline(
     url_col: str = "url",
     text_col: str = "text",
     domain_cap_n: int | None = 100_000,
+    line_dedup_max_docs: int | None = None,
     near_dup: bool = True,
     shingle_k: int = 5,
     num_hashes: int = 8,
@@ -82,6 +87,10 @@ def corpus_pipeline(
       1. canonicalize urls; drop rows whose canonical url duplicates an
          earlier one (lowest id wins) — crawl re-fetch collapse
       2. ``domain_cap_n``: per-registered-domain quota (WindowGroupLimit)
+      2b. ``line_dedup_max_docs``: CCNet-style line-level boilerplate
+          removal BEFORE document-level dedup (stripping shared banners
+          first is what lets near-identical pages become exact/near dups);
+          replaces the text column with the cleaned text.  Off by default.
       3. exact content dedup (lowest id per md5)
       4. ``near_dup``: MinHash+LSH candidate pairs -> connected components
          -> keep the lowest id per near-dup cluster
@@ -111,6 +120,17 @@ def corpus_pipeline(
     if domain_cap_n is not None:
         out = _note(
             "domain_capped", domain_cap(out, domain_cap_n, url_col=url_col, id_col=id_col)
+        )
+
+    if line_dedup_max_docs is not None:
+        cleaned = line_dedup(
+            out, id_col, text_col, max_line_docs=line_dedup_max_docs
+        ).select(id_col, "text_clean")
+        out = _note(
+            "line_deduped",
+            out.drop(text_col)
+            .join(cleaned, id_col)
+            .withColumnRenamed("text_clean", text_col),
         )
 
     out = _note("exact_deduped", dedup_exact(out, id_col, text_col))

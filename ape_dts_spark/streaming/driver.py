@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ape_dts_spark.functions.extract_text import extract_text_udf
-from ape_dts_spark.lake.table import BUCKET_COL, LakeTable
+from ape_dts_spark.lake.table import _WIDEN_OK, BUCKET_COL, LakeTable, spark_type
 from ape_dts_spark.operators.dedup import (
     lww_dedup,
     lww_dedup_bucket_aligned,
@@ -50,6 +50,14 @@ from ape_dts_spark.operators.filters import ChangeFilter, Router
 from ape_dts_spark.operators.merge import merge_into
 
 _LOG = logging.getLogger(__name__)
+
+#: widen pairs mapped to Spark typeName() strings — the promote whitelist IS
+#: widen_column's whitelist (a literal copy here drifted, r4 ADVICE)
+_PROMOTE = {(spark_type(a).typeName(), spark_type(b).typeName()) for a, b in _WIDEN_OK}
+#: pairs Spark's parquet reader up-casts AT SCAN TIME (probed on this engine:
+#: every _WIDEN_OK pair EXCEPT long->double, whose 64-bit mantissa cannot
+#: widen losslessly into double's 52)
+_READER_PROMOTE = _PROMOTE - {("long", "double")}
 
 CHECKPOINT_COLS = [
     ("job_id", "string"),
@@ -510,15 +518,42 @@ class CdcEngine:
         if not hasattr(self, "_changes_schema"):
             self._changes_schema = self._infer_changes_schema()
         sch = self._changes_schema
-        if isinstance(sch, list):
+        if isinstance(sch, tuple) and sch[0] == "grouped":
             # unreconcilable footer mix (see _infer_changes_schema): one scan
             # per footer group, cast to the shared target, union.  Group
             # count is bounded by DDL count, so this is a handful of scans.
-            out = sch[0]
-            for part in sch[1:]:
-                out = out.unionByName(part)
-            return out
+            # Built PER CALL from a fresh listing (a live tail appends new
+            # files between batches — freezing the file list at inference
+            # time would silently drop them; the per-file footer cache keeps
+            # the re-listing incremental: only unseen files pay a read).
+            return self._read_changes_grouped(sch[1])
         return self.spark.read.schema(sch).parquet(self.cfg.changes_path)
+
+    def _read_changes_grouped(self, target):
+        from pyspark.sql import types as T
+
+        parts = []
+        for g_schema, files in self._changes_footer_groups():
+            gtypes = {f.name: f.dataType for f in g_schema.fields}
+            # read with the target schema EXCEPT reader-unsupported columns,
+            # which stay at the footer type and are cast after the scan
+            read_fields = []
+            for f in target.fields:
+                ft = gtypes.get(f.name, f.dataType)
+                ok = ft == f.dataType or (
+                    (ft.typeName(), f.dataType.typeName()) in _READER_PROMOTE
+                )
+                read_fields.append(T.StructField(f.name, f.dataType if ok else ft, True))
+            part = self.spark.read.schema(T.StructType(read_fields)).parquet(*files)
+            parts.append(
+                part.select(
+                    [F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+                )
+            )
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+        return out
 
     def _infer_changes_schema(self):
         """Footer-MERGED inference: single-footer inference (mergeSchema off)
@@ -530,15 +565,16 @@ class CdcEngine:
         (the promote whitelist IS widen_column's _WIDEN_OK — a literal copy
         here drifted, r4 ADVICE) and add DDL-announced columns the footers
         lacked.  When every footer->target pair is one the parquet reader
-        promotes at scan time (everything in _WIDEN_OK except long->double,
-        which is lossy and refused) the result is a single explicit read
-        schema; otherwise returns a LIST of per-footer-group frames already
-        cast to the target — the same per-file-group cast the sink read path
-        uses — because no single read schema can decode an int64/double mix.
+        promotes at scan time (_READER_PROMOTE) the result is a single
+        explicit read schema; otherwise returns ("grouped", target) and
+        _changes() takes per-footer-group reads cast to the target — the
+        same per-file-group cast the sink read path uses — because no single
+        read schema can decode an int64/double mix.
 
         The footer listing is a driver-side pass over the stream's files,
-        but only on this exception path and cached once per engine (and
-        re-done after schema DDL); each footer is a kilobyte-range read."""
+        but only on this exception path; the per-file footer cache keeps
+        repeat listings incremental (each new footer is a kilobyte-range
+        read)."""
         try:
             return (
                 self.spark.read.option("mergeSchema", "true")
@@ -549,15 +585,8 @@ class CdcEngine:
             pass
         from pyspark.sql import types as T
 
-        from ape_dts_spark.lake.table import _WIDEN_OK, spark_type
-
-        promote = {
-            (spark_type(a).typeName(), spark_type(b).typeName()) for a, b in _WIDEN_OK
-        }
-        # pairs Spark's parquet reader up-casts at scan time (probed on this
-        # engine: every _WIDEN_OK pair EXCEPT long->double, whose 64-bit
-        # mantissa cannot widen losslessly into double's 52)
-        reader_promote = promote - {("long", "double")}
+        promote = _PROMOTE
+        reader_promote = _READER_PROMOTE
 
         sink = {f["name"]: spark_type(f["type"]) for f in self.pages.schema.fields}
         groups = self._changes_footer_groups()
@@ -611,38 +640,25 @@ class CdcEngine:
             for ft in cs
         ):
             return target  # one scan decodes every file
-        parts = []
-        for g_schema, files in groups:
-            gtypes = {f.name: f.dataType for f in g_schema.fields}
-            # read with the target schema EXCEPT reader-unsupported columns,
-            # which stay at the footer type and are cast after the scan
-            read_fields = []
-            for f in target.fields:
-                ft = gtypes.get(f.name, f.dataType)
-                ok = ft == f.dataType or (
-                    (ft.typeName(), f.dataType.typeName()) in reader_promote
-                )
-                read_fields.append(T.StructField(f.name, f.dataType if ok else ft, True))
-            part = self.spark.read.schema(T.StructType(read_fields)).parquet(*files)
-            parts.append(
-                part.select(
-                    [F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
-                )
-            )
-        return parts
+        return ("grouped", target)
 
     def _changes_footer_groups(self):
         """[(footer_schema, [files])] for the changes dir, grouped by footer
         schema (distinct groups are bounded by the DDL count).  Driver-side
-        pyarrow footer reads — used only on the mixed-footer exception path."""
+        pyarrow footer reads — used only on the mixed-footer exception path,
+        and incremental: already-seen files hit the per-path cache."""
         import pyarrow.parquet as pq
 
+        cache = self.__dict__.setdefault("_footer_schema_cache", {})
         files = self.spark.read.parquet(self.cfg.changes_path).inputFiles()
         groups: dict[str, list] = {}
         schemas: dict[str, object] = {}
         for uri in files:
-            path = uri[7:] if uri.startswith("file://") else uri
-            sch = self._footer_schema(pq, path)
+            sch = cache.get(uri)
+            if sch is None:
+                path = uri[7:] if uri.startswith("file://") else uri
+                sch = self._footer_schema(pq, path)
+                cache[uri] = sch
             key = sch.simpleString()
             groups.setdefault(key, []).append(uri)
             schemas[key] = sch

@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "ann_cosine_topk",
     "corpus_pipeline",
+    # r5 additions: the decontamination pair and the SQ8 quantized ANN
+    # serving path, timed at sf0.1 like the rest of the headline set
+    "corpus_decontam",
+    "emb_quantized_topk",
 ]
 
 

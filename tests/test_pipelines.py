@@ -117,3 +117,18 @@ def test_corpus_pipeline_leaves_no_pinned_cache(spark, raw_docs):
         assert jsparkSession.sharedState().cacheManager().isEmpty()
         del out
     gc.collect()
+
+
+def test_corpus_pipeline_line_dedup_stage(spark, raw_docs):
+    """Optional CCNet line-dedup stage: a corpus-wide banner line must be
+    stripped from every surviving document before document-level dedup."""
+    banner = "subscribe to our newsletter today"
+    docs = raw_docs.withColumn("text", F.concat(F.col("text"), F.lit("\n" + banner)))
+    out = corpus_pipeline(
+        docs, min_words=0, domain_cap_n=None, line_dedup_max_docs=5, near_dup=False
+    )
+    texts = [r["text"] for r in out.select("text").collect()]
+    assert texts and all(banner not in t for t in texts)
+    # the planted exact dups (doc_id<3 copies) still collapse post-clean
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert not ids & {50_000, 50_001, 50_002}

@@ -142,6 +142,13 @@ def test_infer_changes_schema_widen_long_double_restart(spark, tmp_path):
     assert dict((f.name, f.dataType) for f in df.schema.fields)["score"] == T.DoubleType()
     rows = {r["url"]: r["score"] for r in df.collect()}
     assert rows == {"u1": 100.0, "u2": 1.5}
+    # live tail: a file appended AFTER inference must be picked up by the
+    # cached grouped reader (the file list is re-listed per call, not frozen)
+    spark.createDataFrame(
+        [(3, "insert", "u3", 250)], "lsn long, op string, url string, score long"
+    ).write.parquet(ch, mode="append")
+    rows2 = {r["url"]: r["score"] for r in eng._changes().collect()}
+    assert rows2 == {"u1": 100.0, "u2": 1.5, "u3": 250.0}
 
 
 def test_infer_changes_schema_widen_int_long_single_scan(spark, tmp_path):
