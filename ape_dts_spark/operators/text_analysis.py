@@ -492,3 +492,110 @@ def line_dedup(
         .na.fill({"text_clean": "", "n_kept": 0})
         .select(id_col, "text_clean", "n_lines", F.col("n_kept").cast("long").alias("n_kept"))
     )
+
+
+def doc_chunk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 256,
+    overlap_words: int = 32,
+) -> DataFrame:
+    """Split documents into fixed word-window chunks with overlap — the
+    standard pretraining / retrieval chunking pass before tokenization.
+
+    -> (id, chunk_id, text_chunk, n_words): chunk_id is 0-based, stride =
+    chunk_words - overlap_words, the last chunk may be short, a document
+    shorter than one window yields exactly one chunk, and an empty/
+    whitespace-only document yields none.  Chunk text is the window's words
+    joined with single spaces (whitespace-normalized by construction —
+    chunking feeds tokenizers, which treat runs of whitespace as one).
+
+    Zero shuffle: split + sequence + transform + posexplode inside one
+    projection; deterministic and engine-portable (exact integer chunk
+    count), so the DuckDB oracle reproduces every chunk boundary.
+    """
+    if chunk_words < 1 or not 0 <= overlap_words < chunk_words:
+        raise ValueError("need chunk_words >= 1 and 0 <= overlap_words < chunk_words")
+    stride = chunk_words - overlap_words
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
+    )
+    n = F.size(F.col("_w"))
+    # integer ceil division: (n - overlap + stride - 1) div stride, min 1
+    n_chunks = F.greatest(
+        F.expr(f"CAST((size(_w) - {overlap_words} + {stride - 1}) DIV {stride} AS BIGINT)"),
+        F.lit(1).cast("long"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda c: F.struct(
+            c.cast("long").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(F.col("_w"), (c * stride + 1).cast("int"), chunk_words)
+            ).alias("text_chunk"),
+            F.least(F.lit(chunk_words).cast("long"), n - c * stride).alias("n_words"),
+        ),
+    )
+    return (
+        _spread(docs)
+        .select(F.col(id_col), words.alias("_w"))
+        .filter(F.size("_w") > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(
+            F.col(id_col),
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.text_chunk").alias("text_chunk"),
+            F.col("_c.n_words").alias("n_words"),
+        )
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme, Schleimer/
+    Wilkerson/Aiken 2003): hash every k-word gram, slide a window of
+    ``window`` consecutive gram hashes, keep each window's MINIMUM hash —
+    guaranteed to share a fingerprint with any other document that shares a
+    run of at least k+window-1 words, while storing ~2/(window+1) of the
+    gram hashes.
+
+    -> (id, fp) exploded, distinct per doc: the join-ready fingerprint set
+    for plagiarism-style overlap mining (pairs sharing a fingerprint share
+    a verbatim word run).  md5-based gram hash — deterministic, engine-
+    portable, bit-identical on the DuckDB oracle.  Zero shuffle up to the
+    distinct: gram hashes, window minima and dedup all happen inside one
+    array projection per document.
+    """
+    if k < 1 or window < 1:
+        raise ValueError("need k >= 1 and window >= 1")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: F.length(w) > 0
+    )
+    n = F.size(F.col("_w"))
+    idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    gram_h = F.transform(
+        idxs,
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(F.col("_w"), i + 1, k))), 1, 12),
+            16,
+            10,
+        ).cast("long"),
+    )
+    m = F.size(F.col("_h"))
+    wins = F.sequence(F.lit(0), F.greatest(m - window, F.lit(0)))
+    fps = F.array_distinct(
+        F.transform(wins, lambda j: F.array_min(F.slice(F.col("_h"), j + 1, window)))
+    )
+    return (
+        _spread(docs)
+        .select(F.col(id_col), words.alias("_w"))
+        .filter(F.size("_w") >= k)
+        .select(F.col(id_col), gram_h.alias("_h"))
+        .select(F.col(id_col), F.explode(fps).alias("fp"))
+    )

@@ -305,3 +305,112 @@ def test_line_dedup_matches_duckdb_oracle(spark):
     by = dict(zip(got["doc_id"], got["text_clean"]))
     assert by[1] == orig[1]
     assert by[0] == orig[0]
+
+
+def test_doc_chunk_matches_duckdb_oracle(spark):
+    """Fixed word-window chunking with overlap: every chunk boundary, id,
+    and word count must match the DuckDB spelling of the same exact-integer
+    plan (stride = chunk - overlap, ceil division, short-doc single chunk)."""
+    from ape_dts_spark.operators.text_analysis import doc_chunk
+
+    chunk, overlap = 40, 8
+    stride = chunk - overlap
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    got = (
+        doc_chunk(docs, chunk_words=chunk, overlap_words=overlap)
+        .orderBy("doc_id", "chunk_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW docs AS SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    )
+    sql = rf"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> length(x) > 0) AS w
+          FROM docs
+        ), base AS (
+          SELECT doc_id, w, len(w) AS n,
+                 greatest((len(w) - {overlap} + {stride - 1}) // {stride}, 1) AS nc
+          FROM w WHERE len(w) > 0
+        ), c AS (
+          SELECT doc_id, unnest(range(0, nc)) AS chunk_id, w, n FROM base
+        )
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(w, chunk_id * {stride} + 1,
+                                          chunk_id * {stride} + {chunk}), ' ')
+                 AS text_chunk,
+               CAST(least({chunk}, n - chunk_id * {stride}) AS BIGINT) AS n_words
+        FROM c ORDER BY doc_id, chunk_id
+    """
+    want = con.execute(sql).df()
+    assert len(got) == len(want)
+    for col in ("doc_id", "chunk_id", "n_words"):
+        assert list(got[col]) == list(want[col].astype(int)), col
+    assert list(got["text_chunk"]) == list(want["text_chunk"])
+    # structure: consecutive chunks overlap by `overlap` words
+    first = got[got.doc_id == got.doc_id.iloc[0]]
+    if len(first) > 1:
+        a, b = first.iloc[0]["text_chunk"].split(), first.iloc[1]["text_chunk"].split()
+        assert a[stride:] == b[: overlap]
+
+
+def test_winnowing_fingerprints_matches_duckdb_oracle(spark):
+    """MOSS winnowing: k-gram md5 hashes, window minima, distinct per doc —
+    and the guarantee that docs sharing a long verbatim run share >=1
+    fingerprint."""
+    from ape_dts_spark.operators.text_analysis import winnowing_fingerprints
+
+    k, window = 5, 4
+    base = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # plant: doc 90001 copies a long run out of doc 0's text
+    import pyspark.sql.functions as Fx
+    plant = base.filter(Fx.col("doc_id") == 0).select(
+        Fx.lit(90001).alias("doc_id"),
+        Fx.concat(Fx.lit("totally different prefix "), Fx.col("text")).alias("text"),
+    )
+    docs = base.unionByName(plant)
+    got = (
+        winnowing_fingerprints(docs, k=k, window=window)
+        .orderBy("doc_id", "fp")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW base AS SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    )
+    sql = rf"""
+        WITH docs AS (
+          SELECT doc_id, text FROM base
+          UNION ALL
+          SELECT 90001 AS doc_id, 'totally different prefix ' || text
+          FROM base WHERE doc_id = 0
+        ), w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> length(x) > 0) AS w
+          FROM docs
+        ), h AS (
+          SELECT doc_id,
+                 list_transform(range(0, greatest(len(w) - {k}, 0) + 1),
+                     i -> ('0x' || substr(md5(array_to_string(
+                              list_slice(w, i + 1, i + {k}), ' ')), 1, 12))::BIGINT) AS hs
+          FROM w WHERE len(w) >= {k}
+        ), f AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(0, greatest(len(hs) - {window}, 0) + 1),
+                     j -> list_min(list_slice(hs, j + 1, j + {window})))) AS fps
+          FROM h
+        )
+        SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp
+    """
+    want = con.execute(sql).df()
+    assert list(got["doc_id"]) == list(want["doc_id"].astype(int))
+    assert list(got["fp"]) == list(want["fp"].astype(int))
+    # the planted copy shares fingerprints with its source
+    s0 = set(got[got.doc_id == 0]["fp"])
+    s1 = set(got[got.doc_id == 90001]["fp"])
+    assert s0 & s1
