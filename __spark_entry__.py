@@ -479,10 +479,16 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_near_dups(fps, max_hamming=3)
 
 
-def q_text_tokens(spark, sf_dir):
-    from ape_dts_spark.operators.text_analysis import token_stats
+def q_text_token_repetition(spark, sf_dir):
+    """token_stats ⋈ repetition_stats on doc_id — one board row value-checks
+    both per-doc stat families (consolidation frees a slot for the round-5
+    operators)."""
+    from ape_dts_spark.operators.text_analysis import repetition_stats, token_stats
 
-    return token_stats(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    return token_stats(docs).join(
+        repetition_stats(docs).withColumnRenamed("n_words", "n_words_rep"), "doc_id"
+    )
 
 
 def q_text_quality(spark, sf_dir):
@@ -618,12 +624,6 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
-def q_text_repetition(spark, sf_dir):
-    from ape_dts_spark.operators.text_analysis import repetition_stats
-
-    return repetition_stats(_t(spark, sf_dir, "documents"))
-
-
 def q_text_length_hist(spark, sf_dir):
     from ape_dts_spark.operators.text_analysis import length_histogram
 
@@ -636,16 +636,19 @@ def q_corpus_bigram_topk(spark, sf_dir):
     return corpus_ngram_topk(_t(spark, sf_dir, "documents"), k=2, topn=20)
 
 
-def q_emb_centroids(spark, sf_dir):
-    from ape_dts_spark.operators.similarity import embedding_centroids
+def q_emb_profile(spark, sf_dir):
+    """embedding_centroids ⋈ embedding_norm_stats on label — one board row
+    value-checks the per-label centroid grid AND the L2-norm health stats
+    (norm columns repeat per dim row; the hash compare is row-set based)."""
+    from ape_dts_spark.operators.similarity import (
+        embedding_centroids,
+        embedding_norm_stats,
+    )
 
-    return embedding_centroids(_t(spark, sf_dir, "embeddings"))
-
-
-def q_emb_norm_stats(spark, sf_dir):
-    from ape_dts_spark.operators.similarity import embedding_norm_stats
-
-    return embedding_norm_stats(_t(spark, sf_dir, "embeddings"))
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = embedding_centroids(emb)
+    norms = embedding_norm_stats(emb).withColumnRenamed("n_vecs", "n_vecs_label")
+    return cent.join(norms, "label")
 
 
 def _pii_seeded(spark, sf_dir):
@@ -872,6 +875,55 @@ def q_hot_keys_profile(spark, sf_dir):
     return top.crossJoin(F.broadcast(summary))
 
 
+def q_text_line_dedup(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal, board-scored: a banner is
+    planted on every even doc (>> the doc-frequency cap), so the cleaned
+    texts must drop exactly those lines and reassemble the rest verbatim.
+    Texts are md5'd in the output to keep the scored rows lean; the digest
+    still pins every byte of the reassembly."""
+    from ape_dts_spark.operators.text_analysis import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nAccept  COOKIES to continue\nHome | About | Contact"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = line_dedup(docs, max_line_docs=10, min_line_chars=1)
+    return out.select(
+        "doc_id", F.md5("text_clean").alias("clean_digest"), "n_lines", "n_kept"
+    )
+
+
+def q_text_chunk_winnow(spark, sf_dir):
+    """doc_chunk + winnowing_fingerprints in ONE variant-tagged board row:
+    'chunk' rows pin every chunk boundary (id, md5(text), word count) of the
+    40/8 word-window split; 'winnow' rows pin the MOSS fingerprint set
+    (k=5 grams, window 4 minima)."""
+    from ape_dts_spark.operators.text_analysis import doc_chunk, winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = doc_chunk(docs, chunk_words=40, overlap_words=8).select(
+        F.lit("chunk").alias("variant"),
+        "doc_id",
+        F.col("chunk_id").alias("k1"),
+        F.md5("text_chunk").alias("v"),
+        F.col("n_words").alias("n"),
+    )
+    fps = winnowing_fingerprints(docs, k=5, window=4).select(
+        F.lit("winnow").alias("variant"),
+        "doc_id",
+        F.col("fp").alias("k1"),
+        F.lit(None).cast("string").alias("v"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    return chunks.unionByName(fps)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The canonical 50-row correctness board.
 
@@ -893,6 +945,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * ``corpus_decontam``       = decontaminate ∪ contaminated_train_docs (r5)
     * ``emb_quantized_topk``    = quantized top-k × quantization audit (r5)
     * ``corpus_split_mix``      = split ∪ sample ∪ mix memberships (r5)
+    * ``text_token_repetition`` = token_stats ⋈ repetition_stats (r5)
+    * ``emb_profile``           = centroids ⋈ norm stats (r5)
+    * ``text_line_dedup``       = CCNet line-dedup reassembly digests (r5)
+    * ``text_chunk_winnow``     = doc_chunk ∪ winnowing fingerprints (r5)
     """
     return {
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -925,7 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
-        "text_tokens": q_text_tokens,
+        "text_token_repetition": q_text_token_repetition,
         "text_quality": q_text_quality,
         "text_lang_fingerprint": q_text_lang_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -934,17 +990,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_metadata": q_media_metadata,
         "dedup_clusters": q_dedup_clusters,
-        "text_repetition": q_text_repetition,
         "text_length_hist": q_text_length_hist,
         "corpus_bigram_topk": q_corpus_bigram_topk,
-        "emb_centroids": q_emb_centroids,
-        "emb_norm_stats": q_emb_norm_stats,
+        "emb_profile": q_emb_profile,
         "text_pii_scrub": q_text_pii_scrub,
         "hot_keys_profile": q_hot_keys_profile,
         "url_canonicalize": q_url_canonicalize,
         "corpus_decontam": q_corpus_decontam,
         "emb_quantized_topk": q_emb_quantized_topk,
         "corpus_split_mix": q_corpus_split_mix,
+        "text_line_dedup": q_text_line_dedup,
+        "text_chunk_winnow": q_text_chunk_winnow,
     }
 
 
@@ -1613,6 +1669,97 @@ def _corpus_split_mix_oracle_sql() -> str:
     """
 
 
+def _line_dedup_oracle_sql(max_df: int = 10, min_chars: int = 1) -> str:
+    """DuckDB mirror of q_text_line_dedup: banner plant on even docs,
+    normalized-line doc frequency (distinct docs), over-cap drop, ordered
+    reassembly, md5 digest of the cleaned text."""
+    return rf"""
+        WITH docs AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN text || chr(10) || 'Accept  COOKIES to continue'
+                           || chr(10) || 'Home | About | Contact'
+                      ELSE text END AS text
+          FROM documents
+        ), lines AS (
+          SELECT doc_id, ln - 1 AS line_no, line FROM (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS ln
+            FROM docs)
+        ), keyed AS (
+          SELECT doc_id, line_no, line,
+                 md5(regexp_replace(lower(trim(line)), '\s+', ' ', 'g')) AS h,
+                 length(trim(line)) < {min_chars} AS skip
+          FROM lines
+        ), hot AS (
+          SELECT h FROM (SELECT DISTINCT h, doc_id FROM keyed WHERE NOT skip)
+          GROUP BY h HAVING count(*) > {max_df}
+        ), kept AS (
+          SELECT * FROM keyed ANTI JOIN hot USING (h)
+        ), re AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text_clean,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        ), tot AS (
+          SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM docs
+        )
+        SELECT t.doc_id, md5(coalesce(re.text_clean, '')) AS clean_digest,
+               CAST(t.n_lines AS INTEGER) AS n_lines,
+               CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept
+        FROM tot t LEFT JOIN re USING (doc_id)
+    """
+
+
+def _chunk_winnow_oracle_sql(
+    chunk: int = 40, overlap: int = 8, k: int = 5, window: int = 4
+) -> str:
+    """DuckDB mirror of q_text_chunk_winnow: the 'chunk' arm pins every
+    word-window boundary (exact integer ceil division), the 'winnow' arm
+    pins the MOSS fingerprint set (k-gram md5 hashes, window minima,
+    distinct per doc)."""
+    stride = chunk - overlap
+    return rf"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> length(x) > 0) AS w
+          FROM documents
+        ), cbase AS (
+          SELECT doc_id, w, len(w) AS n,
+                 greatest((len(w) - {overlap} + {stride - 1}) // {stride}, 1) AS nc
+          FROM w WHERE len(w) > 0
+        ), c AS (
+          SELECT doc_id, unnest(range(0, nc)) AS chunk_id, w, n FROM cbase
+        ), lw AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> length(x) > 0) AS w
+          FROM documents
+        ), h AS (
+          SELECT doc_id,
+                 list_transform(range(0, greatest(len(w) - {k}, 0) + 1),
+                     i -> ('0x' || substr(md5(array_to_string(
+                              list_slice(w, i + 1, i + {k}), ' ')), 1, 12))::BIGINT) AS hs
+          FROM lw WHERE len(w) >= {k}
+        ), f AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(0, greatest(len(hs) - {window}, 0) + 1),
+                     j -> list_min(list_slice(hs, j + 1, j + {window})))) AS fps
+          FROM h
+        )
+        SELECT 'chunk' AS variant, doc_id, CAST(chunk_id AS BIGINT) AS k1,
+               md5(array_to_string(list_slice(w, chunk_id * {stride} + 1,
+                                              chunk_id * {stride} + {chunk}), ' ')) AS v,
+               CAST(least({chunk}, n - chunk_id * {stride}) AS BIGINT) AS n
+        FROM c
+        UNION ALL
+        SELECT 'winnow' AS variant, doc_id, unnest(fps) AS k1,
+               CAST(NULL AS VARCHAR) AS v, CAST(NULL AS BIGINT) AS n
+        FROM f
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     op = OP_EXPR
     cdc = (
@@ -1910,13 +2057,48 @@ def oracle_sql() -> dict[str, str]:
         """
         ),
         "dedup_simhash": _simhash_oracle_sql(max_hamming=3),
-        "text_tokens": r"""
-            SELECT doc_id,
-                   len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                   x -> length(x) > 0)) AS n_tokens_ws,
-                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
-                   length(text) AS n_chars
-            FROM documents
+        "text_token_repetition": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                     x -> length(x) > 0)) AS n_tokens_ws,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+                       AS n_tokens_bpe,
+                     length(text) AS n_chars
+              FROM documents
+            ), words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 w -> length(w) > 0) AS w
+              FROM documents
+            ), rbase AS (
+              SELECT doc_id, w, len(w) AS n, len(list_distinct(w)) AS types FROM words
+            ), rpos AS (
+              SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+              FROM words
+            ), rbg AS (
+              SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g FROM rpos
+            ), rbstats AS (
+              SELECT doc_id, count(*) AS nb, count(DISTINCT g) AS db
+              FROM rbg GROUP BY doc_id
+            ), rtops AS (
+              SELECT doc_id, max(c) AS top FROM (
+                SELECT doc_id, word, count(*) AS c
+                FROM (SELECT doc_id, unnest(w) AS word FROM words)
+                GROUP BY doc_id, word
+              ) GROUP BY doc_id
+            ), rep AS (
+              SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words_rep,
+                     ((20000::HUGEINT * b.types + b.n) // (2 * b.n)) / 10000.0 AS ttr,
+                     ((20000::HUGEINT * t.top + b.n) // (2 * b.n)) / 10000.0
+                       AS top_word_frac,
+                     ((20000::HUGEINT * (s.nb - s.db) + s.nb) // (2 * s.nb)) / 10000.0
+                       AS dup_bigram_frac
+              FROM rbase b JOIN rtops t USING (doc_id) JOIN rbstats s USING (doc_id)
+            )
+            SELECT tok.*, rep.n_words_rep, rep.ttr, rep.top_word_frac,
+                   rep.dup_bigram_frac
+            FROM tok JOIN rep USING (doc_id)
         """,
         "text_quality": f"""
             WITH q AS ({_TEXT_QUALITY_SQL})
@@ -2027,36 +2209,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT cc.doc_id, cc.cluster_id, k.n_members, k.keeper
             FROM cc JOIN k USING (cluster_id)
         """,
-        "text_repetition": r"""
-            WITH words AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                 w -> length(w) > 0) AS w
-              FROM documents
-            ), base AS (
-              SELECT doc_id, w, len(w) AS n, len(list_distinct(w)) AS types FROM words
-            ), pos AS (
-              SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
-              FROM words
-            ), bg AS (
-              SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g FROM pos
-            ), bstats AS (
-              SELECT doc_id, count(*) AS nb, count(DISTINCT g) AS db
-              FROM bg GROUP BY doc_id
-            ), tops AS (
-              SELECT doc_id, max(c) AS top FROM (
-                SELECT doc_id, word, count(*) AS c
-                FROM (SELECT doc_id, unnest(w) AS word FROM words)
-                GROUP BY doc_id, word
-              ) GROUP BY doc_id
-            )
-            SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words,
-                   ((20000::HUGEINT * b.types + b.n) // (2 * b.n)) / 10000.0 AS ttr,
-                   ((20000::HUGEINT * t.top + b.n) // (2 * b.n)) / 10000.0 AS top_word_frac,
-                   ((20000::HUGEINT * (s.nb - s.db) + s.nb) // (2 * s.nb)) / 10000.0
-                     AS dup_bigram_frac
-            FROM base b JOIN tops t USING (doc_id) JOIN bstats s USING (doc_id)
-        """,
         "text_length_hist": """
             SELECT lang, CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
                    CAST(count(*) AS BIGINT) AS n_docs,
@@ -2078,32 +2230,38 @@ def oracle_sql() -> dict[str, str]:
             FROM bg WHERE length(ngram) > 0
             GROUP BY ngram ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
         """,
-        "emb_centroids": """
-            SELECT label, CAST(i - 1 AS INTEGER) AS dim,
-                   CAST(count(*) AS BIGINT) AS n_vecs,
-                   round(avg(v), 3) + 0.0 AS centroid
-            FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
-                         generate_subscripts(embedding, 1) AS i
-                  FROM embeddings)
-            GROUP BY 1, 2
-        """,
-        "emb_norm_stats": """
-            WITH n AS (
+        "emb_profile": """
+            WITH cent AS (
+              SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+                     CAST(count(*) AS BIGINT) AS n_vecs,
+                     round(avg(v), 3) + 0.0 AS centroid
+              FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings)
+              GROUP BY 1, 2
+            ), n AS (
               SELECT label,
                      sqrt(list_sum(list_transform(embedding,
                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
               FROM embeddings
+            ), ns AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n_vecs_label,
+                     round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm,
+                     round(avg(nrm), 3) AS avg_norm
+              FROM n GROUP BY label
             )
-            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
-                   round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm,
-                   round(avg(nrm), 3) AS avg_norm
-            FROM n GROUP BY label
+            SELECT cent.*, ns.n_vecs_label, ns.min_norm, ns.max_norm, ns.avg_norm
+            FROM cent JOIN ns USING (label)
         """,
         "text_pii_scrub": _pii_oracle_sql(),
         "url_canonicalize": _url_canonicalize_oracle_sql(),
         "corpus_decontam": _corpus_decontam_oracle_sql(k=3, threshold=0.5, max_df=1000),
         "emb_quantized_topk": _emb_quantized_topk_oracle_sql(k=5),
         "corpus_split_mix": _corpus_split_mix_oracle_sql(),
+        "text_line_dedup": _line_dedup_oracle_sql(max_df=10, min_chars=1),
+        "text_chunk_winnow": _chunk_winnow_oracle_sql(
+            chunk=40, overlap=8, k=5, window=4
+        ),
         # the ratio columns are rounded in EXACT integer space (HUGEINT
         # round-half-up, mirroring profiling.hot_key_report's decimal `div`)
         # instead of round()-on-double, which lands on representation
