@@ -599,3 +599,36 @@ def winnowing_fingerprints(
         .select(F.col(id_col), gram_h.alias("_h"))
         .select(F.col(id_col), F.explode(fps).alias("fp"))
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "strat",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group Bernoulli sampling — the language/domain
+    REBALANCING pass (e.g. keep 100% of low-resource languages, 10% of
+    English).  Keep iff hash-slot(seed:id) < fraction(group); groups absent
+    from ``fractions`` use ``default_fraction`` (0.0 = drop, the explicit
+    allow-list posture).
+
+    Same md5 slot as deterministic_sample, so the nested-superset property
+    holds PER GROUP (raising one group's fraction only adds rows), and
+    cross-operator composition is stable (a doc's slot is one number).
+    Zero shuffle: one when-chain projection + filter, no join — group
+    thresholds are compile-time literals, so a 10^10-doc scan pays one
+    comparison per row.  Engine-portable: any SQL engine reproduces the
+    kept set from the same thresholds.
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    thr = F.lit(int(round(1_000_000 * default_fraction)))
+    for g, f in fractions.items():
+        thr = F.when(F.col(group_col) == g, F.lit(int(round(1_000_000 * f)))).otherwise(thr)
+    return docs.filter(_hash_slot(id_col, seed) < thr)

@@ -414,3 +414,42 @@ def test_winnowing_fingerprints_matches_duckdb_oracle(spark):
     s0 = set(got[got.doc_id == 0]["fp"])
     s1 = set(got[got.doc_id == 90001]["fp"])
     assert s0 & s1
+
+
+def test_stratified_sample_matches_duckdb_oracle(spark):
+    """Per-group Bernoulli rebalancing: membership must match the DuckDB
+    spelling of the same slot/threshold plan, nested-superset must hold per
+    group, and unlisted groups must follow default_fraction."""
+    from ape_dts_spark.operators.text_analysis import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    fr = {"en": 0.1, "de": 1.0}
+    got = {
+        r["doc_id"]
+        for r in stratified_sample(docs, fr, default_fraction=0.5).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW docs AS SELECT doc_id, lang FROM read_parquet('{SF}/documents.parquet')"
+    )
+    slot = "('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000000"
+    want = {
+        r[0]
+        for r in con.execute(
+            f"""
+        SELECT doc_id FROM docs
+        WHERE {slot} < CASE WHEN lang = 'de' THEN 1000000
+                            WHEN lang = 'en' THEN 100000
+                            ELSE 500000 END
+        """
+        ).fetchall()
+    }
+    assert got == want and got
+    # every 'de' doc kept; nested superset per group when a fraction rises
+    de = {r["doc_id"] for r in docs.filter("lang = 'de'").collect()}
+    assert de <= got
+    bigger = {
+        r["doc_id"]
+        for r in stratified_sample(docs, {"en": 0.3, "de": 1.0}, default_fraction=0.5).collect()
+    }
+    assert got <= bigger
