@@ -16,6 +16,7 @@ over web-page change streams; see tests/test_engine_e2e.py and bench.py.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -213,6 +214,49 @@ def q_cdc_check_sampled(spark, sf_dir):
     )
     out = check(src, tgt, ["o_orderkey"], ["o_totalprice"], sample_interval=10)
     return out.select("o_orderkey", "check_result")
+
+
+def q_cdc_check_profile(spark, sf_dir):
+    """Consolidated checker row (50-row board cap): the full-table check's
+    miss/diff set × the 1-in-10 sampled check's full classification, tagged
+    by mode — both underlying operators stay value-checked under one key."""
+    full = q_cdc_check(spark, sf_dir).withColumn("mode", F.lit("full"))
+    sampled = q_cdc_check_sampled(spark, sf_dir).withColumn("mode", F.lit("sampled"))
+    return full.unionByName(sampled)
+
+
+def q_ingest_content_dedup(spark, sf_dir):
+    """Incremental content dedup at ingest (operators/incremental_dedup.py):
+    index one deterministic slice of the corpus (doc_id % 3 = 0) in a
+    bloom-sidecar ContentIndex, then classify an overlapping arriving batch
+    (doc_id % 2 = 0) as fresh/dup — docs at doc_id % 6 = 0 are the planted
+    already-ingested content.  The operator's contract is exact md5
+    equality, so the oracle is a plain hash anti-join."""
+    import shutil
+    import tempfile
+
+    from ape_dts_spark.operators.incremental_dedup import ContentIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="content_index_")
+    try:
+        idx = ContentIndex.create(os.path.join(tmp, "idx"), n_buckets=16)
+        idx.append(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0),
+            text_col="text",
+            id_col="doc_id",
+        )
+        batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        fresh, dups = idx.dedup_batch(spark, batch, text_col="text", id_col="doc_id")
+        out = fresh.select("doc_id", F.lit(False).alias("is_dup")).unionByName(
+            dups.select("doc_id", F.lit(True).alias("is_dup"))
+        )
+        # the index dir must outlive the caller's action on the returned
+        # (lazy) frame — collect the small classification eagerly instead.
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_cdc_revise_subset(spark, sf_dir):
@@ -963,8 +1007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_tx_boundary": q_cdc_tx_boundary,
         "cdc_delete_reinsert": q_cdc_delete_reinsert,
         "cdc_salted_partition": q_cdc_salted_partition,
-        "cdc_check": q_cdc_check,
-        "cdc_check_sampled": q_cdc_check_sampled,
+        "cdc_check_profile": q_cdc_check_profile,
+        "ingest_content_dedup": q_ingest_content_dedup,
         "cdc_revise_subset": q_cdc_revise_subset,
         "cdc_snapshot_chunks": q_cdc_snapshot_chunks,
         "cdc_change_feed": q_cdc_change_feed,
@@ -1850,7 +1894,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id % 8 AS bucket, lsn % 4 AS salt, count(*) AS n_rows
             FROM ch GROUP BY 1, 2
         """,
-        "cdc_check": """
+        "cdc_check_profile": """
             WITH tgt AS (
               SELECT o_orderkey,
                      CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
@@ -1862,28 +1906,39 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN t.o_orderkey IS NULL THEN 'miss'
                         WHEN s.o_totalprice IS DISTINCT FROM t.o_totalprice
                           OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus THEN 'diff'
-                        ELSE 'match' END AS check_result
+                        ELSE 'match' END AS check_result,
+                   'full' AS mode
             FROM orders s LEFT JOIN tgt t USING (o_orderkey)
             WHERE t.o_orderkey IS NULL
                OR s.o_totalprice IS DISTINCT FROM t.o_totalprice
                OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
-        """,
-        "cdc_check_sampled": """
-            WITH sampled AS (
-              SELECT * FROM orders
-              WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT
-                    % 10 = 0
-            ), tgt AS (
-              SELECT o_orderkey,
-                     CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
-                          ELSE o_totalprice END AS o_totalprice
-              FROM sampled WHERE o_orderkey % 97 <> 0
+            UNION ALL
+            SELECT o_orderkey, check_result, 'sampled' AS mode FROM (
+              WITH sampled AS (
+                SELECT * FROM orders
+                WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT
+                      % 10 = 0
+              ), tgt AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice
+                FROM sampled WHERE o_orderkey % 97 <> 0
+              )
+              SELECT s.o_orderkey AS o_orderkey,
+                     CASE WHEN t.o_orderkey IS NULL THEN 'miss'
+                          WHEN s.o_totalprice IS DISTINCT FROM t.o_totalprice THEN 'diff'
+                          ELSE 'match' END AS check_result
+              FROM sampled s LEFT JOIN tgt t USING (o_orderkey)
             )
-            SELECT s.o_orderkey AS o_orderkey,
-                   CASE WHEN t.o_orderkey IS NULL THEN 'miss'
-                        WHEN s.o_totalprice IS DISTINCT FROM t.o_totalprice THEN 'diff'
-                        ELSE 'match' END AS check_result
-            FROM sampled s LEFT JOIN tgt t USING (o_orderkey)
+        """,
+        "ingest_content_dedup": """
+            WITH idx AS (
+              SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+            ), batch AS (
+              SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT b.doc_id AS doc_id, (i.h IS NOT NULL) AS is_dup
+            FROM batch b LEFT JOIN idx i USING (h)
         """,
         "cdc_revise_subset": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
