@@ -372,6 +372,29 @@ def q_tpch_q1_pricing(spark, sf_dir):
     )
 
 
+def q_tpch_pricing_profile(spark, sf_dir):
+    """Consolidated lineitem-pricing row (50-row board cap): TPC-H Q1's
+    grouped pricing summary × Q6's forecast-revenue scalar appended as a
+    column — both demonstration aggregates stay value-checked under one
+    key (the `hot_keys_profile` consolidation pattern)."""
+    q6 = q_tpch_q6_revenue(spark, sf_dir).withColumnRenamed("revenue", "q6_revenue")
+    return q_tpch_q1_pricing(spark, sf_dir).crossJoin(F.broadcast(q6))
+
+
+def q_text_ppl_filter(spark, sf_dir):
+    """CCNet-style perplexity band filter (operators/ngram_lm.py): score
+    every document under an add-one bigram LM self-trained on the corpus,
+    keep = ppl <= 30.  Training is two map-side-combined counts; scoring is
+    two AQE-skew-splittable hash joins — no Python in the hot path."""
+    from ape_dts_spark.operators.ngram_lm import perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = perplexity(docs)
+    return scored.select(
+        "doc_id", "n_bigrams", "ppl", (F.col("ppl") <= 30.0).alias("keep")
+    )
+
+
 def q_tpch_q3_top_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
@@ -1015,10 +1038,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_to_sql": q_cdc_to_sql,
         "cdc_before_image": q_cdc_before_image,
         "struct_table_meta": q_struct_table_meta,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_pricing_profile": q_tpch_pricing_profile,
+        "text_ppl_filter": q_text_ppl_filter,
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
         "tpch_q5_nation_revenue": q_tpch_q5_nation_revenue,
-        "tpch_q6_revenue": q_tpch_q6_revenue,
         "ev_sessionize": q_ev_sessionize,
         "ev_daily_rollup": q_ev_daily_rollup,
         "dedup_exact_profile": q_dedup_exact_profile,
@@ -2004,16 +2027,56 @@ def oracle_sql() -> dict[str, str]:
               WHERE table_name IN ('orders', 'lineitem', 'documents', 'events')
             )
         """,
-        "tpch_q1_pricing": """
+        "tpch_pricing_profile": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
                    round(sum(l_extendedprice), 2) AS sum_base_price,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                    round(avg(l_quantity), 4) AS avg_qty,
                    round(avg(l_discount), 4) AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-            GROUP BY l_returnflag, l_linestatus
+                   count(*) AS count_order,
+                   q6.q6_revenue AS q6_revenue
+            FROM lineitem
+            CROSS JOIN (
+              SELECT round(sum(l_extendedprice * l_discount), 2) AS q6_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24
+            ) q6
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus, q6.q6_revenue
+        """,
+        "text_ppl_filter": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, ts, unnest(range(1, len(ts)::INT)) AS i
+              FROM tok WHERE len(ts) >= 2
+            ), big AS (
+              SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM pos
+            ), cnt AS (
+              SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2
+            ), ctx AS (
+              SELECT w1, sum(c) AS cc FROM cnt GROUP BY 1
+            ), v AS (
+              SELECT count(DISTINCT w) AS vs
+              FROM (SELECT unnest(ts) AS w FROM tok)
+            )
+            SELECT b.doc_id AS doc_id,
+                   count(*) AS n_bigrams,
+                   round(exp(-sum(ln((cn.c + 1.0) / (cx.cc + v.vs))) / count(*)), 2)
+                     AS ppl,
+                   round(exp(-sum(ln((cn.c + 1.0) / (cx.cc + v.vs))) / count(*)), 2)
+                     <= 30.0 AS keep
+            FROM big b
+            JOIN cnt cn USING (w1, w2)
+            JOIN ctx cx USING (w1)
+            CROSS JOIN v
+            GROUP BY b.doc_id
         """,
         "tpch_q3_top_orders": """
             SELECT l_orderkey,
@@ -2037,13 +2100,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA'
             GROUP BY n_name
-        """,
-        "tpch_q6_revenue": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-              AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24
         """,
         "ev_sessionize": """
             WITH g AS (

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ape_dts_spark.operators.dedup_clusters import cluster_keep_list, connected_components
+from ape_dts_spark.operators.ngram_lm import ppl_filter
 from ape_dts_spark.operators.text_analysis import (
     deterministic_split,
     line_dedup,
@@ -73,6 +74,7 @@ def corpus_pipeline(
     num_hashes: int = 8,
     bands: int = 4,
     min_words: int = 60,
+    ppl_band: tuple[float, float] | None = None,
     contamination_threshold: float = 0.5,
     split_weights: dict[str, float] | None = None,
     with_report: bool = False,
@@ -95,6 +97,9 @@ def corpus_pipeline(
       4. ``near_dup``: MinHash+LSH candidate pairs -> connected components
          -> keep the lowest id per near-dup cluster
       5. ``min_words``: C4/Gopher-style quality filter (keep==true)
+      5b. ``ppl_band``: CCNet-style perplexity band over a self-trained
+          bigram LM (operators/ngram_lm.py); docs outside [lo, hi] — and
+          docs too short to score — are dropped.  Off by default.
       6. ``evalset``: drop train docs that CONTAIN >= threshold of any
          eval doc's shingles (eval-side coverage via
          contaminated_train_docs — catches a short benchmark item embedded
@@ -164,6 +169,18 @@ def corpus_pipeline(
             "keep"
         ).select(id_col)
         out = _note("quality_kept", out.join(keepers, id_col, "left_semi"))
+
+    if ppl_band is not None:
+        # CCNet-style LM band: score survivors under a bigram LM
+        # self-trained on THIS corpus (in-corpus statistic — boilerplate
+        # scores low, gibberish high) and keep the [lo, hi] band.  Pass a
+        # pre-trained model via operators.ngram_lm directly when scoring
+        # against a trusted reference corpus instead.
+        lo, hi = ppl_band
+        out = _note(
+            "ppl_band_kept",
+            ppl_filter(out, lo=lo, hi=hi, id_col=id_col, text_col=text_col),
+        )
 
     if evalset is not None:
         # eval-side coverage: drop any train doc CONTAINING >= threshold of

@@ -51,7 +51,7 @@ from ape_dts_spark.streaming.driver import CdcEngine, EngineConfig  # noqa: E402
 
 BENCH_QUERIES = [
     "cdc_merge_apply",
-    "tpch_q1_pricing",
+    "tpch_pricing_profile",
     "tpch_q3_top_orders",
     "ev_sessionize",
     "dedup_minhash_lsh",
@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     # serving path, timed at sf0.1 like the rest of the headline set
     "corpus_decontam",
     "emb_quantized_topk",
+    # r5: CCNet-style bigram-LM perplexity scoring (train + score, two
+    # explodes + two joins — the curation family's heaviest JVM-only op)
+    "text_ppl_filter",
 ]
 
 

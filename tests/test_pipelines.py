@@ -132,3 +132,28 @@ def test_corpus_pipeline_line_dedup_stage(spark, raw_docs):
     # the planted exact dups (doc_id<3 copies) still collapse post-clean
     ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert not ids & {50_000, 50_001, 50_002}
+
+
+def test_corpus_pipeline_ppl_band_stage(spark):
+    """Optional CCNet perplexity-band stage: in a corpus dominated by one
+    sentence pattern, a gibberish doc (all one-off bigrams in one-off
+    contexts) scores far above the band and is dropped, the pattern docs
+    survive, and a too-short-to-score doc is dropped too."""
+    rows = [
+        (i, f"https://www.ok.com/{i}", f"the cat sat on the mat row{i}")
+        for i in range(20)
+    ]
+    rows.append((70_000, "https://www.gib.com/x", "zq xv qqk lmnop vwx yz qzl wvx kqj"))
+    rows.append((70_001, "https://www.gib.com/y", "word"))
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    from ape_dts_spark.operators.ngram_lm import perplexity
+
+    scored = {r["doc_id"]: r["ppl"] for r in perplexity(docs).collect()}
+    cut = (max(p for i, p in scored.items() if i < 70_000) + scored[70_000]) / 2
+    assert scored[70_000] > cut
+    out = corpus_pipeline(
+        docs, min_words=0, domain_cap_n=None, near_dup=False, ppl_band=(0.0, cut)
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 70_000 not in ids and 70_001 not in ids
+    assert set(range(20)) <= ids
