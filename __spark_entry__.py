@@ -703,6 +703,38 @@ def q_corpus_bigram_topk(spark, sf_dir):
     return corpus_ngram_topk(_t(spark, sf_dir, "documents"), k=2, topn=20)
 
 
+def q_text_corpus_stats(spark, sf_dir):
+    """Consolidated corpus-stats row (50-row board cap): the length
+    histogram and the corpus top-20 bigrams tag-unioned under one key —
+    both stay fully value-checked (the `cdc_check_profile` pattern)."""
+    lh = q_text_length_hist(spark, sf_dir).select(
+        F.lit("len_hist").alias("kind"),
+        F.col("lang").alias("k1"),
+        F.col("bucket_lo").cast("string").alias("k2"),
+        F.col("n_docs").alias("n"),
+        F.col("avg_chars").cast("double").alias("metric"),
+    )
+    bg = q_corpus_bigram_topk(spark, sf_dir).select(
+        F.lit("bigram_top20").alias("kind"),
+        F.col("ngram").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_occurrences").alias("n"),
+        F.lit(None).cast("double").alias("metric"),
+    )
+    return lh.unionByName(bg)
+
+
+def q_text_tf_embed(spark, sf_dir):
+    """Hashing-trick TF embedding, sparse form (operators/text_embed.py):
+    bucket = md5(word) mod 64, weight = tf / l2_norm — the model-free
+    array<float> source for the ANN family.  One deterministic corpus
+    slice (doc_id % 5 = 0) keeps the row count board-sized."""
+    from ape_dts_spark.operators.text_embed import tf_hash_sparse
+
+    docs = _t(spark, sf_dir, "documents").filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    return tf_hash_sparse(docs, dim=64)
+
+
 def q_emb_profile(spark, sf_dir):
     """embedding_centroids ⋈ embedding_norm_stats on label — one board row
     value-checks the per-label centroid grid AND the L2-norm health stats
@@ -1057,8 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_metadata": q_media_metadata,
         "dedup_clusters": q_dedup_clusters,
-        "text_length_hist": q_text_length_hist,
-        "corpus_bigram_topk": q_corpus_bigram_topk,
+        "text_corpus_stats": q_text_corpus_stats,
+        "text_tf_embed": q_text_tf_embed,
         "emb_profile": q_emb_profile,
         "text_pii_scrub": q_text_pii_scrub,
         "hot_keys_profile": q_hot_keys_profile,
@@ -2320,26 +2352,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT cc.doc_id, cc.cluster_id, k.n_members, k.keeper
             FROM cc JOIN k USING (cluster_id)
         """,
-        "text_length_hist": """
-            SELECT lang, CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
-                   CAST(count(*) AS BIGINT) AS n_docs,
+        "text_corpus_stats": r"""
+            SELECT 'len_hist' AS kind, lang AS k1,
+                   CAST(CAST(floor(n_chars / 50) * 50 AS BIGINT) AS VARCHAR) AS k2,
+                   CAST(count(*) AS BIGINT) AS n,
                    ((200::HUGEINT * sum(n_chars) + count(*)) // (2 * count(*)))
-                     / 100.0 AS avg_chars
-            FROM documents GROUP BY 1, 2
-        """,
-        "corpus_bigram_topk": r"""
-            WITH words AS (
-              SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                 w -> length(w) > 0) AS w
-              FROM documents
-            ), pos AS (
-              SELECT w, unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i FROM words
-            ), bg AS (
-              SELECT array_to_string(list_slice(w, i, i + 1), ' ') AS ngram FROM pos
+                     / 100.0 AS metric
+            FROM documents GROUP BY lang, floor(n_chars / 50) * 50
+            UNION ALL
+            SELECT 'bigram_top20' AS kind, ngram AS k1,
+                   NULL AS k2, n_occurrences AS n, NULL AS metric
+            FROM (
+              WITH words AS (
+                SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                   w -> length(w) > 0) AS w
+                FROM documents
+              ), pos AS (
+                SELECT w, unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i FROM words
+              ), bg AS (
+                SELECT array_to_string(list_slice(w, i, i + 1), ' ') AS ngram FROM pos
+              )
+              SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+              FROM bg WHERE length(ngram) > 0
+              GROUP BY ngram ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
             )
-            SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
-            FROM bg WHERE length(ngram) > 0
-            GROUP BY ngram ORDER BY n_occurrences DESC, ngram ASC LIMIT 20
+        """,
+        "text_tf_embed": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents WHERE doc_id % 5 = 0
+            ), w AS (
+              SELECT doc_id, unnest(ts) AS word FROM tok
+            ), b AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(word), 1, 12))::BIGINT % 64 AS bucket,
+                     count(*) AS tf
+              FROM w GROUP BY 1, 2
+            ), nrm AS (
+              SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM b GROUP BY 1
+            )
+            SELECT b.doc_id AS doc_id, b.bucket::INT AS bucket,
+                   b.tf AS tf, round(b.tf / nrm.nrm, 6) AS weight
+            FROM b JOIN nrm USING (doc_id)
         """,
         "emb_profile": """
             WITH cent AS (
