@@ -312,11 +312,40 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Coarse quantizer: deterministic seeded centroids = the embeddings of
     hash-picked corpus rows; assign each vector to its nearest centroid.
     Returns (assignments, centroids).  An IVF probe then scores only the
-    query's nearest cell(s) — the classic sub-linear ANN layout."""
+    query's nearest cell(s) — the classic sub-linear ANN layout.
+
+    Pass `centroids` — a (cell, centroid) frame, e.g. Lloyd's-refined ones
+    from `operators.kmeans.centroids_df` — to skip the seeded pick and
+    build the index on a TRAINED quantizer (the FAISS IVF training path);
+    `n_cells`/`seed` are ignored then."""
+    if centroids is not None:
+        picked = centroids.select("cell", F.col("centroid"))
+        cents = F.broadcast(picked)
+        assigned = (
+            corpus.crossJoin(cents)
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.col("cell"),
+                cosine_sim(F.col(vec_col), F.col("centroid")).alias("_sim"),
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(
+                        F.col("_sim").desc(), F.col("cell").asc()
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(id_col, vec_col, "cell")
+        )
+        return assigned, picked
     # md5-derived pick rank (not xxhash64): any SQL engine reproduces the
     # centroid choice bit-for-bit, so IVF results are oracle-checkable
     rank_hash = F.pmod(
@@ -374,6 +403,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     k: int = 5,
     seed: int = 42,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-probed approximate top-k: score only corpus vectors whose cell is
     among the query's `n_probe` nearest centroids (the classic FAISS IVF
@@ -382,9 +412,10 @@ def ivf_topk(
     Scale shape at 10^10 vectors: the corpus is partitioned once by `cell`
     (a shuffle bounded by cell sizes; centroids are a broadcast), queries
     fan out to n_probe cells, and scoring touches n_probe/n_cells of the
-    corpus.  Recall rises with n_probe at linear cost.
+    corpus.  Recall rises with n_probe at linear cost.  `centroids`
+    overrides the seeded quantizer with a trained one (see `ivf_assign`).
     """
-    assigned, cents = ivf_assign(corpus, n_cells, id_col, vec_col, seed)
+    assigned, cents = ivf_assign(corpus, n_cells, id_col, vec_col, seed, centroids)
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qv"),
