@@ -476,6 +476,39 @@ def q_ev_daily_rollup(spark, sf_dir):
     )
 
 
+def q_ev_activity_profile(spark, sf_dir):
+    """Consolidated events row (50-row board cap): gap-sessionization ∪
+    daily rollup, tag-unioned under one key — both streaming-analog
+    aggregations stay fully value-checked (the `cdc_check_profile`
+    pattern)."""
+    s = q_ev_sessionize(spark, sf_dir).select(
+        F.lit("session").alias("kind"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("session_id").cast("string").alias("k2"),
+        F.col("n_events"),
+        F.col("first_event").cast("double").alias("x1"),
+        F.col("last_event").cast("double").alias("x2"),
+    )
+    r = q_ev_daily_rollup(spark, sf_dir).select(
+        F.lit("daily").alias("kind"),
+        F.date_format("day", "yyyy-MM-dd").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n_events"),
+        F.col("sum_value").cast("double").alias("x1"),
+        F.col("avg_value").cast("double").alias("x2"),
+    )
+    return s.unionByName(r)
+
+
+def q_corpus_pack_shards(spark, sf_dir):
+    """Token-budget shard packing (operators/text_analysis.py
+    pack_shards): greedy prefix-sum packing within 4 uniform hash
+    sub-streams, budget 400 whitespace tokens per shard."""
+    from ape_dts_spark.operators.text_analysis import pack_shards
+
+    return pack_shards(_t(spark, sf_dir, "documents"), budget=400, n_streams=4)
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline operators (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -1074,8 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ppl_filter": q_text_ppl_filter,
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
         "tpch_q5_nation_revenue": q_tpch_q5_nation_revenue,
-        "ev_sessionize": q_ev_sessionize,
-        "ev_daily_rollup": q_ev_daily_rollup,
+        "ev_activity_profile": q_ev_activity_profile,
+        "corpus_pack_shards": q_corpus_pack_shards,
         "dedup_exact_profile": q_dedup_exact_profile,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2133,7 +2166,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY n_name
         """,
-        "ev_sessionize": """
+        "ev_activity_profile": """
             WITH g AS (
               SELECT user_id, event_id, ts,
                      CASE WHEN lag(ts) OVER w IS NULL
@@ -2147,16 +2180,38 @@ def oracle_sql() -> dict[str, str]:
                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM g
             )
-            SELECT user_id, session_id, count(*) AS n_events,
-                   min(event_id) AS first_event, max(event_id) AS last_event
-            FROM s GROUP BY user_id, session_id
-        """,
-        "ev_daily_rollup": """
-            SELECT date_trunc('day', ts) AS day, event_type,
+            SELECT 'session' AS kind,
+                   CAST(user_id AS VARCHAR) AS k1,
+                   CAST(session_id AS VARCHAR) AS k2,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value,
-                   round(avg(value), 4) AS avg_value
-            FROM events GROUP BY 1, 2
+                   CAST(min(event_id) AS DOUBLE) AS x1,
+                   CAST(max(event_id) AS DOUBLE) AS x2
+            FROM s GROUP BY user_id, session_id
+            UNION ALL
+            SELECT 'daily' AS kind,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS k1,
+                   event_type AS k2,
+                   count(*) AS n_events,
+                   CAST(round(sum(value), 2) AS DOUBLE) AS x1,
+                   CAST(round(avg(value), 4) AS DOUBLE) AS x2
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "corpus_pack_shards": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                     x -> x <> ''))::BIGINT AS n_tokens,
+                     ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       % 1000000 AS slot
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_tokens, (slot % 4)::INT AS stream,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY slot % 4 ORDER BY slot, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+              FROM d
+            )
+            SELECT doc_id, n_tokens, stream, (prefix // 400)::INT AS shard FROM s
         """,
         "dedup_exact_profile": f"""
             WITH d AS ({_DOCS_DUPS_SQL}),

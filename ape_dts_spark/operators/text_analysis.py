@@ -8,7 +8,7 @@ codegen, no UDFs, deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ape_dts_spark.operators.text_dedup import _norm_words, _spread
@@ -632,3 +632,58 @@ def stratified_sample(
     for g, f in fractions.items():
         thr = F.when(F.col(group_col) == g, F.lit(int(round(1_000_000 * f)))).otherwise(thr)
     return docs.filter(_hash_slot(id_col, seed) < thr)
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_streams: int = 32,
+    seed: str = "pack",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Token-budget shard assignment — the distribution step of sequence
+    packing: every training shard gets ~`budget` tokens of documents, in a
+    deterministic order, so downstream tokenize+pack workers pull balanced,
+    reproducible units of work.
+
+    Output: (id_col, n_tokens, stream, shard) where (stream, shard) is the
+    shard identity.  Docs are first hash-split into `n_streams` independent
+    sub-streams (md5-slot — same family as deterministic_split, so the
+    assignment is stable under corpus growth within a stream's order), then
+    greedily packed IN slot order by a running token prefix-sum: a doc
+    lands in shard floor(prefix_excl / budget), so each shard's total is
+    < budget + its last doc's tokens (the standard greedy straddle).
+
+    Scale note: the prefix-sum window partitions by `stream` — a UNIFORM
+    hash split, not a data key, so unlike the banned count-over-hot-key
+    pattern every partition holds ~1/n_streams of the corpus by
+    construction; `n_streams` is the parallelism knob (set it ~= the
+    cluster's task slots; the sequential prefix-sum is inherent to greedy
+    packing and this is its standard parallelization).  `tokens_col` lets
+    callers supply exact tokenizer counts instead of the whitespace proxy.
+    """
+    tok = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.size(F.filter(_words(F.col(text_col)), lambda w: F.length(w) > 0))
+    )
+    slot = _hash_slot(id_col, seed)
+    d = docs.select(
+        F.col(id_col),
+        tok.cast("long").alias("n_tokens"),
+        slot.alias("_slot"),
+    ).withColumn("stream", F.pmod(F.col("_slot"), F.lit(n_streams)).cast("int"))
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(F.col("_slot").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        id_col,
+        "n_tokens",
+        "stream",
+        F.floor(prefix / F.lit(int(budget))).cast("int").alias("shard"),
+    )

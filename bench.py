@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "cdc_merge_apply",
     "tpch_pricing_profile",
     "tpch_q3_top_orders",
-    "ev_sessionize",
+    "ev_activity_profile",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "ann_cosine_topk",
