@@ -610,6 +610,24 @@ def q_text_lang_fingerprint(spark, sf_dir):
     return language_id(docs).join(fingerprint(docs), "doc_id")
 
 
+def q_text_doc_profile(spark, sf_dir):
+    """Consolidated per-doc text row (50-row board cap): quality signals +
+    C4/Gopher keep/drop ⋈ language_id ⋈ fingerprint on doc_id — all four
+    operators stay value-checked under one key."""
+    return q_text_quality(spark, sf_dir).join(
+        q_text_lang_fingerprint(spark, sf_dir), "doc_id"
+    )
+
+
+def q_text_bm25(spark, sf_dir):
+    """BM25 relevance over the corpus (operators/bm25.py): Okapi k1=1.2,
+    b=0.75 for the fixed query 'data training model'; docs matching no
+    query term emit no row."""
+    from ape_dts_spark.operators.bm25 import bm25_score
+
+    return bm25_score(_t(spark, sf_dir, "documents"), "data training model")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for 8 query vectors (exact ANN baseline)."""
     from ape_dts_spark.operators.similarity import brute_force_topk
@@ -1114,8 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "text_token_repetition": q_text_token_repetition,
-        "text_quality": q_text_quality,
-        "text_lang_fingerprint": q_text_lang_fingerprint,
+        "text_doc_profile": q_text_doc_profile,
+        "text_bm25": q_text_bm25,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_probe": q_ann_lsh_probe,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2298,23 +2316,23 @@ def oracle_sql() -> dict[str, str]:
                    rep.dup_bigram_frac
             FROM tok JOIN rep USING (doc_id)
         """,
-        "text_quality": f"""
-            WITH q AS ({_TEXT_QUALITY_SQL})
-            SELECT q.*,
-                   (CASE WHEN n_words < 60 THEN 'too_short'
-                         WHEN stopword_ratio < 0.03 THEN 'low_stopword'
-                         WHEN punct_ratio > 0.2 THEN 'high_punct'
-                         WHEN alpha_ratio < 0.5 THEN 'low_alpha'
-                    END) IS NULL AS keep,
-                   CASE WHEN n_words < 60 THEN 'too_short'
-                        WHEN stopword_ratio < 0.03 THEN 'low_stopword'
-                        WHEN punct_ratio > 0.2 THEN 'high_punct'
-                        WHEN alpha_ratio < 0.5 THEN 'low_alpha'
-                   END AS drop_reason
-            FROM q
-        """,
-        "text_lang_fingerprint": r"""
-            WITH m AS (
+        "text_doc_profile": rf"""
+            WITH q0 AS ({_TEXT_QUALITY_SQL}),
+            quality AS (
+              SELECT q0.*,
+                     (CASE WHEN n_words < 60 THEN 'too_short'
+                           WHEN stopword_ratio < 0.03 THEN 'low_stopword'
+                           WHEN punct_ratio > 0.2 THEN 'high_punct'
+                           WHEN alpha_ratio < 0.5 THEN 'low_alpha'
+                      END) IS NULL AS keep,
+                     CASE WHEN n_words < 60 THEN 'too_short'
+                          WHEN stopword_ratio < 0.03 THEN 'low_stopword'
+                          WHEN punct_ratio > 0.2 THEN 'high_punct'
+                          WHEN alpha_ratio < 0.5 THEN 'low_alpha'
+                     END AS drop_reason
+              FROM q0
+            ),
+            m AS (
               SELECT doc_id,
                      list_filter(string_split_regex(lower(trim(text)), '\s+'),
                                  x -> length(x) > 0) AS words
@@ -2345,8 +2363,32 @@ def oracle_sql() -> dict[str, str]:
                        AS digest_head
               FROM documents
             )
-            SELECT doc_id, pred_lang, marker_hits, digest, digest_norm, digest_head
-            FROM lang JOIN fp USING (doc_id)
+            SELECT * FROM quality JOIN lang USING (doc_id) JOIN fp USING (doc_id)
+        """,
+        "text_bm25": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x <> '')) AS w
+              FROM documents
+            ), lens AS (
+              SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+            ), c AS (
+              SELECT count(*) AS n, avg(dl) AS avgdl FROM lens
+            ), tf AS (
+              SELECT doc_id, w, count(*) AS tf FROM toks
+              WHERE w IN ('data', 'model', 'training') GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT w, count(*) AS df FROM tf GROUP BY 1
+            )
+            SELECT tf.doc_id AS doc_id,
+                   round(sum(
+                     ln((c.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / c.avgdl))
+                   ), 4) AS score
+            FROM tf JOIN dfreq USING (w) JOIN lens USING (doc_id) CROSS JOIN c
+            GROUP BY tf.doc_id
         """,
         "ann_cosine_topk": """
             WITH q AS (

@@ -49,7 +49,13 @@ def _sq_l2(vec_col, cent_col):
 def _assign(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
             id_col: str, vec_col: str) -> DataFrame:
     """(id, vec, cell): nearest centroid per row from a broadcast literal —
-    a single projection, no join, no shuffle."""
+    a single projection, no join, no shuffle.
+
+    The literal array puts k·dim constants in the plan: ideal for coarse
+    quantizers (k <= a few thousand).  For huge k, assign via the
+    broadcast JOIN path instead (`similarity.ivf_assign(centroids=...)`),
+    which ships the centroid table as a broadcast relation rather than
+    plan text — same result, k·|corpus| scored pairs either way."""
     cent_arr = F.array(
         *[
             F.struct(
