@@ -158,6 +158,24 @@ class EngineConfig:
     # and every superseded file lives forever — retention is what keeps
     # metadata listing and storage O(keep_last), not O(batches).
     expire_keep_last: int = 0
+    # OPTIONAL ingest-time content dedup (operators/incremental_dedup.py
+    # ContentIndex): when set, each batch's surviving INSERT rows whose
+    # extracted text already exists anywhere in the index are dropped
+    # BEFORE the MERGE (and before feed emission), and the remaining fresh
+    # inserts' hashes are appended to the index AFTER the merge commits.
+    # This deliberately changes replication semantics (content-identity
+    # dedup across keys — the curation knob a training-corpus ingest wants),
+    # so it is OFF by default; parity/replay-equality runs keep it off.
+    # Updates and deletes always pass through (key identity governs them),
+    # which also means a url deleted and later re-inserted with content the
+    # index has seen stays dropped — content is ingested once, ever.
+    # Crash window: merge commits first, then the index append — a crash
+    # between them replays as already_applied and skips the append, so
+    # those hashes are missed (future identical content would be ingested
+    # again).  Best-effort by design: the window can only under-drop,
+    # never lose data.
+    content_index_path: str | None = None
+    content_index_buckets: int = 64
     # catalog directory for in-stream table-lifecycle DDL (reference
     # ddl_type.rs:7-36 CreateTable/DropTable/RenameTable/Create+DropDatabase,
     # replayed as change events in ddl_test/src_test.sql:1-60).  When set,
@@ -435,6 +453,17 @@ class CdcEngine:
             "batches": 0,
         }
         self._ddls = getattr(self, "_ddls", None) or self._load_ddls()
+        self._cidx = None
+        if cfg.content_index_path and self.stopped_reason is None:
+            from ape_dts_spark.operators.incremental_dedup import ContentIndex
+
+            self._cidx = (
+                ContentIndex.load(cfg.content_index_path)
+                if ContentIndex.exists(cfg.content_index_path)
+                else ContentIndex.create(
+                    cfg.content_index_path, n_buckets=cfg.content_index_buckets
+                )
+            )
         self.batch_log: list[dict] = []  # per-batch stage timings (profiling)
         if cfg.log_dir:
             from ape_dts_spark.streaming.monitor_log import MonitorLogEmitter
@@ -749,6 +778,26 @@ class CdcEngine:
 
     # ------------------------------------------------------------- one batch
 
+    def _content_filter(self, deduped):
+        """(filtered, fresh_inserts, n_dropped): drop INSERT rows whose text
+        the ContentIndex has already seen; updates/deletes pass through.
+        Exact by construction (md5 equality; the bloom only prunes)."""
+        cfg = self.cfg
+        if "text" not in deduped.columns:
+            raise ValueError(
+                "content_index_path requires a 'text' column in the prepared "
+                "batch — enable extract_text or carry text in the stream"
+            )
+        is_candidate = (F.col("op") == "insert") & F.col("text").isNotNull()
+        inserts = deduped.filter(is_candidate)
+        others = deduped.filter(~is_candidate)
+        fresh, dups = self._cidx.dedup_batch(
+            self.spark, inserts, text_col="text", id_col=cfg.key_col
+        )
+        fresh = fresh.drop("h")
+        n_dropped = dups.count()
+        return others.unionByName(fresh), fresh, n_dropped
+
     def _apply_batch(self, batch_id: int, lo: int, hi: int, ddls: list[dict] | None) -> None:
         t0 = time.monotonic()
         cfg = self.cfg
@@ -771,6 +820,15 @@ class CdcEngine:
             F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("bytes"),
         )
         deduped = prepare_changes(self.pages, slice_df, cfg)
+
+        cd_base = cd_fresh = None
+        cd_dropped = 0
+        if self._cidx is not None and not already_applied:
+            # persist the prepared batch: the bloom/verify classification
+            # and the post-merge index append both re-read it, and without
+            # a pin each pass would re-run the extraction UDF over the html
+            cd_base = deduped = deduped.persist()
+            deduped, cd_fresh, cd_dropped = self._content_filter(deduped)
 
         t_prep = time.monotonic() - t0
         t_feed = 0.0
@@ -797,6 +855,11 @@ class CdcEngine:
                     and self.pages.manifest.bucket_key == cfg.key_col
                 ),
             )
+            if cd_fresh is not None:
+                # AFTER the merge commit (see EngineConfig.content_index_path
+                # for the crash-window contract): record the fresh inserts'
+                # content hashes so later batches drop re-crawled content
+                self._cidx.append(cd_fresh, text_col="text", id_col=cfg.key_col)
             # Observation.get BLOCKS FOREVER when the CollectMetrics node ran
             # zero tasks (a plan the optimizer collapses to an empty relation
             # never resolves it) — an `except` around .get can't catch a hang.
@@ -844,6 +907,8 @@ class CdcEngine:
 
         if cfg.feed_path and not already_applied:
             deduped.unpersist()
+        if cd_base is not None:
+            cd_base.unpersist()
         self._hook("post_merge", batch_id)
 
         t_merge = time.monotonic() - t0 - t_prep - t_feed
@@ -905,6 +970,7 @@ class CdcEngine:
                     time.monotonic() - t0 - t_prep - t_feed - t_merge - t_compact, 2
                 ),
                 "skipped_merge": already_applied,
+                **({"content_dups": cd_dropped} if self._cidx is not None else {}),
             }
         )
         self._hook("post_checkpoint", batch_id)
