@@ -131,4 +131,8 @@ def load_task_config(path_or_text: str, is_text: bool = False) -> EngineConfig:
         feed_before_images=str(snk.get("feed_before_images", "false")).lower()
         in ("1", "true", "yes"),
         node_id=snk.get("node_id") or None,
+        # opt-in ingest content dedup (sinker section — it gates what
+        # reaches the sink, like the reference's sinker-side filters)
+        content_index_path=snk.get("content_index_path") or None,
+        content_index_buckets=int(snk.get("content_index_buckets", "64")),
     )

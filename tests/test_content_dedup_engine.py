@@ -128,3 +128,27 @@ def test_requires_text_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="text"):
         CdcEngine(spark, cfg).run()
+
+
+def test_ini_exposes_content_index_knobs():
+    from ape_dts_spark.config import load_task_config
+
+    cfg = load_task_config(
+        """
+[extractor]
+changes_path = /tmp/ch
+[sinker]
+pages_path = /tmp/pg
+content_index_path = /tmp/cidx
+content_index_buckets = 32
+""",
+        is_text=True,
+    )
+    assert cfg.content_index_path == "/tmp/cidx"
+    assert cfg.content_index_buckets == 32
+    # and absent -> off
+    cfg2 = load_task_config(
+        "[extractor]\nchanges_path=/tmp/ch\n[sinker]\npages_path=/tmp/pg\n",
+        is_text=True,
+    )
+    assert cfg2.content_index_path is None
