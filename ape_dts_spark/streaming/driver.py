@@ -821,94 +821,101 @@ class CdcEngine:
         )
         deduped = prepare_changes(self.pages, slice_df, cfg)
 
-        cd_base = cd_fresh = None
+        cd_fresh = None
         cd_dropped = 0
-        if self._cidx is not None and not already_applied:
-            # persist the prepared batch: the bloom/verify classification
-            # and the post-merge index append both re-read it, and without
-            # a pin each pass would re-run the extraction UDF over the html
-            cd_base = deduped = deduped.persist()
-            deduped, cd_fresh, cd_dropped = self._content_filter(deduped)
+        # every persist() in this batch is released in the finally below:
+        # an exception between a pin and its unpersist (content filter
+        # validation, feed emit, a merge CommitConflict) must not leave the
+        # frame registered in the CacheManager for the session's lifetime
+        pinned: list = []
+        try:
+            if self._cidx is not None and not already_applied:
+                # persist the prepared batch: the bloom/verify classification
+                # and the post-merge index append both re-read it, and without
+                # a pin each pass would re-run the extraction UDF over the html
+                deduped = deduped.persist()
+                pinned.append(deduped)
+                deduped, cd_fresh, cd_dropped = self._content_filter(deduped)
 
-        t_prep = time.monotonic() - t0
-        t_feed = 0.0
-        if cfg.feed_path and not already_applied:
-            tf0 = time.monotonic()
-            deduped = deduped.persist()
-            emit_change_feed(self.spark, self.pages, deduped, cfg)
-            t_feed = time.monotonic() - tf0
-        if not already_applied:
-            stats = merge_into(
-                self.spark,
-                self.pages,
-                deduped,
-                properties={
-                    "hwm_lsn": str(hi),
-                    f"hwm_lsn.{cfg.job_id}": str(hi),
-                    "batch_id": str(batch_id),
-                    "job_id": cfg.job_id,
-                },
-                dedup_source=False,  # already deduped above
-                mode=cfg.merge_mode,
-                pre_clustered=(
-                    cfg.dedup_strategy == "bucket_aligned"
-                    and self.pages.manifest.bucket_key == cfg.key_col
-                ),
-            )
-            if cd_fresh is not None:
-                # AFTER the merge commit (see EngineConfig.content_index_path
-                # for the crash-window contract): record the fresh inserts'
-                # content hashes so later batches drop re-crawled content
-                self._cidx.append(cd_fresh, text_col="text", id_col=cfg.key_col)
-            # Observation.get BLOCKS FOREVER when the CollectMetrics node ran
-            # zero tasks (a plan the optimizer collapses to an empty relation
-            # never resolves it) — an `except` around .get can't catch a hang.
-            # Probe the JVM row non-blockingly first (getRowOrEmpty compiles
-            # public from Scala's private[spark]); only then read .get.
-            # The accessor leans on private PySpark internals (obs._jo +
-            # getRowOrEmpty): if a Spark upgrade removes either, EVERY batch
-            # would silently pay the counted fallback's extra scan — probe
-            # once per engine, cache, and warn loudly the moment the
-            # fallback becomes the steady-state path (r4 ADVICE).
-            resolved = False
-            if getattr(self, "_obs_accessor_ok", True):
-                try:
-                    jopt = obs._jo.getRowOrEmpty()
-                    # zero-task runs can also resolve to a schema-less EMPTY
-                    # row, which .get cannot convert — unresolved too (this
-                    # is a per-batch condition, NOT an accessor failure)
-                    resolved = (not jopt.isEmpty()) and jopt.get().length() > 0
-                    self._obs_accessor_ok = True
-                except Exception:
-                    self._obs_accessor_ok = False
-                    _LOG.warning(
-                        "Observation.getRowOrEmpty accessor unavailable on "
-                        "this Spark build — every batch will now run an "
-                        "extra count job over its slice for input metrics"
-                    )
-            if resolved:
-                got = obs.get
-                input_records = int(got["records"] or 0)
-                input_bytes = int(got["bytes"] or 0)
+            t_prep = time.monotonic() - t0
+            t_feed = 0.0
+            if cfg.feed_path and not already_applied:
+                tf0 = time.monotonic()
+                deduped = deduped.persist()
+                pinned.append(deduped)
+                emit_change_feed(self.spark, self.pages, deduped, cfg)
+                t_feed = time.monotonic() - tf0
+            if not already_applied:
+                stats = merge_into(
+                    self.spark,
+                    self.pages,
+                    deduped,
+                    properties={
+                        "hwm_lsn": str(hi),
+                        f"hwm_lsn.{cfg.job_id}": str(hi),
+                        "batch_id": str(batch_id),
+                        "job_id": cfg.job_id,
+                    },
+                    dedup_source=False,  # already deduped above
+                    mode=cfg.merge_mode,
+                    pre_clustered=(
+                        cfg.dedup_strategy == "bucket_aligned"
+                        and self.pages.manifest.bucket_key == cfg.key_col
+                    ),
+                )
+                if cd_fresh is not None:
+                    # AFTER the merge commit (see EngineConfig.content_index_path
+                    # for the crash-window contract): record the fresh inserts'
+                    # content hashes so later batches drop re-crawled content
+                    self._cidx.append(cd_fresh, text_col="text", id_col=cfg.key_col)
+                # Observation.get BLOCKS FOREVER when the CollectMetrics node ran
+                # zero tasks (a plan the optimizer collapses to an empty relation
+                # never resolves it) — an `except` around .get can't catch a hang.
+                # Probe the JVM row non-blockingly first (getRowOrEmpty compiles
+                # public from Scala's private[spark]); only then read .get.
+                # The accessor leans on private PySpark internals (obs._jo +
+                # getRowOrEmpty): if a Spark upgrade removes either, EVERY batch
+                # would silently pay the counted fallback's extra scan — probe
+                # once per engine, cache, and warn loudly the moment the
+                # fallback becomes the steady-state path (r4 ADVICE).
+                resolved = False
+                if getattr(self, "_obs_accessor_ok", True):
+                    try:
+                        jopt = obs._jo.getRowOrEmpty()
+                        # zero-task runs can also resolve to a schema-less EMPTY
+                        # row, which .get cannot convert — unresolved too (this
+                        # is a per-batch condition, NOT an accessor failure)
+                        resolved = (not jopt.isEmpty()) and jopt.get().length() > 0
+                        self._obs_accessor_ok = True
+                    except Exception:
+                        self._obs_accessor_ok = False
+                        _LOG.warning(
+                            "Observation.getRowOrEmpty accessor unavailable on "
+                            "this Spark build — every batch will now run an "
+                            "extra count job over its slice for input metrics"
+                        )
+                if resolved:
+                    got = obs.get
+                    input_records = int(got["records"] or 0)
+                    input_bytes = int(got["bytes"] or 0)
+                else:
+                    # fall back to one bounded count job (rare: empty slices only)
+                    input_records = self._changes().filter(
+                        (F.col("lsn") > lo) & (F.col("lsn") <= hi)
+                    ).count()
+                    input_bytes = 0
+                self.metrics["record_count"] += input_records
+                self.metrics["data_bytes"] += input_bytes
+                self.metrics["sinked_records"] += stats.output_rows if stats.output_rows > 0 else 0
+                self._write_lineage(batch_id, lo, hi, stats, input_records, t0)
             else:
-                # fall back to one bounded count job (rare: empty slices only)
-                input_records = self._changes().filter(
-                    (F.col("lsn") > lo) & (F.col("lsn") <= hi)
-                ).count()
-                input_bytes = 0
-            self.metrics["record_count"] += input_records
-            self.metrics["data_bytes"] += input_bytes
-            self.metrics["sinked_records"] += stats.output_rows if stats.output_rows > 0 else 0
-            self._write_lineage(batch_id, lo, hi, stats, input_records, t0)
-        else:
-            # crash-recovery replay: MERGE already committed for this slice —
-            # skip it (manifest hwm guard) and just restore the checkpoint row.
-            stats = None
+                # crash-recovery replay: MERGE already committed for this slice —
+                # skip it (manifest hwm guard) and just restore the checkpoint row.
+                stats = None
 
-        if cfg.feed_path and not already_applied:
-            deduped.unpersist()
-        if cd_base is not None:
-            cd_base.unpersist()
+        finally:
+            for _p in pinned:
+                _p.unpersist()
         self._hook("post_merge", batch_id)
 
         t_merge = time.monotonic() - t0 - t_prep - t_feed

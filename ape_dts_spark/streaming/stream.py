@@ -75,26 +75,32 @@ def start_stream(
 
     def sink_batch(batch_df, batch_id: int):
         deduped = prepare_changes(pages.refresh(), batch_df, cfg)
-        if cfg.feed_path:
-            # same contract as the batch driver: feed BEFORE merge (before-
-            # images reflect pre-batch committed state), persist so the prep
-            # chain runs once for feed + merge
-            deduped = deduped.persist()
-            emit_change_feed(spark, pages, deduped, cfg)
-        merge_into(
-            spark,
-            pages,
-            deduped,
-            properties={"stream_batch_id": str(batch_id), "job_id": cfg.job_id},
-            dedup_source=False,
-            mode=cfg.merge_mode,
-            pre_clustered=(
-                cfg.dedup_strategy == "bucket_aligned"
-                and pages.manifest.bucket_key == cfg.key_col
-            ),
-        )
-        if cfg.feed_path:
-            deduped.unpersist()
+        pinned = None
+        try:
+            if cfg.feed_path:
+                # same contract as the batch driver: feed BEFORE merge (before-
+                # images reflect pre-batch committed state), persist so the prep
+                # chain runs once for feed + merge
+                pinned = deduped = deduped.persist()
+                emit_change_feed(spark, pages, deduped, cfg)
+            merge_into(
+                spark,
+                pages,
+                deduped,
+                properties={"stream_batch_id": str(batch_id), "job_id": cfg.job_id},
+                dedup_source=False,
+                mode=cfg.merge_mode,
+                pre_clustered=(
+                    cfg.dedup_strategy == "bucket_aligned"
+                    and pages.manifest.bucket_key == cfg.key_col
+                ),
+            )
+        finally:
+            # release even when feed/merge raises — a failed micro-batch must
+            # not leave the frame pinned in the CacheManager (Structured
+            # Streaming retries the batch with a FRESH prepare chain)
+            if pinned is not None:
+                pinned.unpersist()
         maybe_compact(spark, pages, cfg)
 
     checkpoint_dir = checkpoint_dir or os.path.join(

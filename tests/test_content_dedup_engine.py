@@ -128,6 +128,11 @@ def test_requires_text_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="text"):
         CdcEngine(spark, cfg).run()
+    # the validation raise fires AFTER the batch pins the prepared frame —
+    # the finally must release it or the session's CacheManager keeps the
+    # frame forever (r5 leak: broke the pipeline cache-hygiene test when
+    # this file ran first in the shared-session suite)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_ini_exposes_content_index_knobs():
