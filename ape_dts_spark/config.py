@@ -135,4 +135,8 @@ def load_task_config(path_or_text: str, is_text: bool = False) -> EngineConfig:
         # reaches the sink, like the reference's sinker-side filters)
         content_index_path=snk.get("content_index_path") or None,
         content_index_buckets=int(snk.get("content_index_buckets", "64")),
+        near_dup_index_path=snk.get("near_dup_index_path") or None,
+        near_dup_threshold=float(snk.get("near_dup_threshold", "0.8")),
+        near_dup_buckets=int(snk.get("near_dup_buckets", "64")),
+        near_dup_max_bucket=int(snk.get("near_dup_max_bucket", "64")),
     )

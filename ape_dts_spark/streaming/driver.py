@@ -176,6 +176,22 @@ class EngineConfig:
     # never lose data.
     content_index_path: str | None = None
     content_index_buckets: int = 64
+    # OPTIONAL ingest-time NEAR-dup dedup (operators/neardup_index.py
+    # NearDupIndex): the MinHash analog of content_index_path for content
+    # that re-arrives ALMOST identical (trailing timestamps, rotated ads)
+    # and defeats md5 equality.  INSERT rows whose text matches any indexed
+    # page at est_jaccard >= near_dup_threshold are dropped before the
+    # MERGE; the surviving inserts' signatures are appended AFTER the merge
+    # commits (same best-effort crash window as the content index — a
+    # missed append can only under-drop).  When both indexes are enabled
+    # the exact filter runs first (cheaper: bloom + md5) and BOTH indexes
+    # record only the inserts that actually merged.  OFF by default for
+    # the same replication-semantics reason as content_index_path.
+    near_dup_index_path: str | None = None
+    near_dup_threshold: float = 0.8
+    near_dup_buckets: int = 64
+    # hot band-signature cap forwarded to NearDupIndex.match_batch
+    near_dup_max_bucket: int = 64
     # catalog directory for in-stream table-lifecycle DDL (reference
     # ddl_type.rs:7-36 CreateTable/DropTable/RenameTable/Create+DropDatabase,
     # replayed as change events in ddl_test/src_test.sql:1-60).  When set,
@@ -462,6 +478,17 @@ class CdcEngine:
                 if ContentIndex.exists(cfg.content_index_path)
                 else ContentIndex.create(
                     cfg.content_index_path, n_buckets=cfg.content_index_buckets
+                )
+            )
+        self._ndidx = None
+        if cfg.near_dup_index_path and self.stopped_reason is None:
+            from ape_dts_spark.operators.neardup_index import NearDupIndex
+
+            self._ndidx = (
+                NearDupIndex.load(cfg.near_dup_index_path)
+                if NearDupIndex.exists(cfg.near_dup_index_path)
+                else NearDupIndex.create(
+                    cfg.near_dup_index_path, n_buckets=cfg.near_dup_buckets
                 )
             )
         self.batch_log: list[dict] = []  # per-batch stage timings (profiling)
@@ -798,6 +825,31 @@ class CdcEngine:
         n_dropped = dups.count()
         return others.unionByName(fresh), fresh, n_dropped
 
+    def _near_dup_filter(self, deduped):
+        """(filtered, fresh_inserts, n_dropped): drop INSERT rows whose text
+        near-dups anything in the NearDupIndex at the configured threshold;
+        updates/deletes pass through (key identity governs them)."""
+        cfg = self.cfg
+        if "text" not in deduped.columns:
+            raise ValueError(
+                "near_dup_index_path requires a 'text' column in the prepared "
+                "batch — enable extract_text or carry text in the stream"
+            )
+        is_candidate = (F.col("op") == "insert") & F.col("text").isNotNull()
+        inserts = deduped.filter(is_candidate)
+        others = deduped.filter(~is_candidate)
+        fresh, dups = self._ndidx.match_batch(
+            self.spark,
+            inserts,
+            text_col="text",
+            id_col=cfg.key_col,
+            threshold=cfg.near_dup_threshold,
+            max_bucket=cfg.near_dup_max_bucket or None,
+        )
+        n_dropped = dups.count()
+        fresh = fresh.select(*deduped.columns)
+        return others.unionByName(fresh), fresh, n_dropped
+
     def _apply_batch(self, batch_id: int, lo: int, hi: int, ddls: list[dict] | None) -> None:
         t0 = time.monotonic()
         cfg = self.cfg
@@ -821,8 +873,8 @@ class CdcEngine:
         )
         deduped = prepare_changes(self.pages, slice_df, cfg)
 
-        cd_fresh = None
-        cd_dropped = 0
+        cd_fresh = nd_fresh = None
+        cd_dropped = nd_dropped = 0
         # every persist() in this batch is released in the finally below:
         # an exception between a pin and its unpersist (content filter
         # validation, feed emit, a merge CommitConflict) must not leave the
@@ -836,6 +888,14 @@ class CdcEngine:
                 deduped = deduped.persist()
                 pinned.append(deduped)
                 deduped, cd_fresh, cd_dropped = self._content_filter(deduped)
+            if self._ndidx is not None and not already_applied:
+                # pin for the same reason as the exact filter (the match and
+                # the post-merge append both re-read the batch); when the
+                # exact filter already pinned, this pins its OUTPUT so the
+                # bloom/verify work is not re-run either
+                deduped = deduped.persist()
+                pinned.append(deduped)
+                deduped, nd_fresh, nd_dropped = self._near_dup_filter(deduped)
 
             t_prep = time.monotonic() - t0
             t_feed = 0.0
@@ -863,11 +923,15 @@ class CdcEngine:
                         and self.pages.manifest.bucket_key == cfg.key_col
                     ),
                 )
-                if cd_fresh is not None:
-                    # AFTER the merge commit (see EngineConfig.content_index_path
-                    # for the crash-window contract): record the fresh inserts'
-                    # content hashes so later batches drop re-crawled content
-                    self._cidx.append(cd_fresh, text_col="text", id_col=cfg.key_col)
+                # AFTER the merge commit (see EngineConfig.content_index_path
+                # for the crash-window contract): record only the inserts
+                # that actually MERGED — when the near-dup filter also ran,
+                # its survivors are the final set for both indexes
+                to_index = nd_fresh if self._ndidx is not None else cd_fresh
+                if self._cidx is not None and to_index is not None:
+                    self._cidx.append(to_index, text_col="text", id_col=cfg.key_col)
+                if self._ndidx is not None and nd_fresh is not None:
+                    self._ndidx.append(nd_fresh, text_col="text", id_col=cfg.key_col)
                 # Observation.get BLOCKS FOREVER when the CollectMetrics node ran
                 # zero tasks (a plan the optimizer collapses to an empty relation
                 # never resolves it) — an `except` around .get can't catch a hang.
@@ -978,6 +1042,7 @@ class CdcEngine:
                 ),
                 "skipped_merge": already_applied,
                 **({"content_dups": cd_dropped} if self._cidx is not None else {}),
+                **({"near_dups": nd_dropped} if self._ndidx is not None else {}),
             }
         )
         self._hook("post_checkpoint", batch_id)
