@@ -184,11 +184,21 @@ class NearDupIndex:
         touched bucket per append.  Re-appending an id overwrites nothing —
         both generations match future batches identically (same content =>
         same sig); stale generations only cost index bytes (compact by
-        rebuilding into a fresh index when that matters)."""
+        rebuilding into a fresh index when that matters).
+
+        Batches are expected id-unique (the CDC engine's are LWW-deduped);
+        a repeated (doc_id, band, sig) row is collapsed inside its bucket
+        writer — deliberately NOT a Spark-side dropDuplicates: that
+        exchange gets AQE-coalesced to ONE partition on batch-sized inputs,
+        and the expensive signature projection above it then runs serially
+        (measured 16x: 16s -> 252s on a 10k-doc batch).  Identical rows
+        hash to the same bucket, so the pandas-side dedup is exact with
+        zero extra shuffle and the signatures keep the caller's (parallel)
+        partitioning."""
         m0 = self.manifest
         v = m0["version"] + 1
         rows = _band_rows(
-            batch.dropDuplicates([id_col]),
+            batch,
             text_col,
             id_col,
             m0["k_shingle"],
@@ -200,6 +210,7 @@ class NearDupIndex:
 
         def _emit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             b = int(key[0])
+            pdf = pdf.drop_duplicates(subset=["doc_id", "band", "sig"])
             part = os.path.join(path, "data", f"v{v}_b{b}_{os.getpid()}.parquet")
             pdf[["band", "sig", "doc_id", "mhs"]].to_parquet(part, index=False)
             # n_docs: band rows / bands is exact only globally; count band-0

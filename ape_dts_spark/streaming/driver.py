@@ -817,18 +817,35 @@ class CdcEngine:
             )
         is_candidate = (F.col("op") == "insert") & F.col("text").isNotNull()
         inserts = deduped.filter(is_candidate)
-        others = deduped.filter(~is_candidate)
-        fresh, dups = self._cidx.dedup_batch(
+        _, dups = self._cidx.dedup_batch(
             self.spark, inserts, text_col="text", id_col=cfg.key_col
         )
-        fresh = fresh.drop("h")
-        n_dropped = dups.count()
-        return others.unionByName(fresh), fresh, n_dropped
+        # run the bloom/verify pipeline ONCE per batch: materialize only the
+        # tiny drop-key set (eager localCheckpoint) and derive both outputs
+        # as cheap anti-joins from the pinned batch — leaving the verify
+        # join in the output lineage re-runs it on every downstream action
+        # (feed, merge's jobs, the index append, metrics counts)
+        drop_keys = dups.select(cfg.key_col).localCheckpoint()
+        n_dropped = drop_keys.count()  # checkpoint already materialized
+        filtered = deduped.join(drop_keys, cfg.key_col, "left_anti").select(
+            *deduped.columns
+        )
+        fresh = filtered.filter(is_candidate)
+        return filtered, fresh, n_dropped
 
     def _near_dup_filter(self, deduped):
         """(filtered, fresh_inserts, n_dropped): drop INSERT rows whose text
         near-dups anything in the NearDupIndex at the configured threshold;
-        updates/deletes pass through (key identity governs them)."""
+        updates/deletes pass through (key identity governs them).
+
+        The match pipeline (signatures -> index read -> candidate joins) is
+        run EXACTLY ONCE per batch: only the tiny drop-key set is
+        materialized (eager localCheckpoint — bounded by the batch's
+        duplicate count), and both outputs are cheap anti-joins from the
+        already-pinned batch.  Leaving the match join in the output lineage
+        would re-run it on EVERY downstream action (feed emit, merge's
+        several jobs, the post-merge append, metrics counts) — measured as
+        a many-minute stall per batch before this shape."""
         cfg = self.cfg
         if "text" not in deduped.columns:
             raise ValueError(
@@ -837,8 +854,7 @@ class CdcEngine:
             )
         is_candidate = (F.col("op") == "insert") & F.col("text").isNotNull()
         inserts = deduped.filter(is_candidate)
-        others = deduped.filter(~is_candidate)
-        fresh, dups = self._ndidx.match_batch(
+        _, dups = self._ndidx.match_batch(
             self.spark,
             inserts,
             text_col="text",
@@ -846,9 +862,15 @@ class CdcEngine:
             threshold=cfg.near_dup_threshold,
             max_bucket=cfg.near_dup_max_bucket or None,
         )
-        n_dropped = dups.count()
-        fresh = fresh.select(*deduped.columns)
-        return others.unionByName(fresh), fresh, n_dropped
+        # the prepared batch is LWW-deduped per key, so the key alone
+        # identifies the dropped insert rows
+        drop_keys = dups.select(cfg.key_col).localCheckpoint()
+        n_dropped = drop_keys.count()  # checkpoint already materialized
+        filtered = deduped.join(drop_keys, cfg.key_col, "left_anti").select(
+            *deduped.columns
+        )
+        fresh = filtered.filter(is_candidate)
+        return filtered, fresh, n_dropped
 
     def _apply_batch(self, batch_id: int, lo: int, hi: int, ddls: list[dict] | None) -> None:
         t0 = time.monotonic()
