@@ -176,8 +176,33 @@ class NearDupIndex:
             os.unlink(tmp)
         self.manifest = m
 
+    # -- signatures --------------------------------------------------------
+    def band_rows(
+        self, batch: DataFrame, text_col: str = "text", id_col: str = "url"
+    ) -> DataFrame:
+        """The batch's band-signature frame (doc_id, band, sig, mhs, b)
+        under this index's pinned parameters.
+
+        The signature projection is the expensive part of both ``append``
+        and ``match_batch`` — a caller doing match-then-append on the same
+        batch (the CDC engine's shape) should compute this ONCE, eagerly
+        materialize it (``localCheckpoint`` — it is narrow: ~200 bytes x
+        bands per doc), and pass it to both via their ``rows=`` parameter,
+        halving the per-batch signature cost."""
+        m = self.manifest
+        return _band_rows(
+            batch, text_col, id_col, m["k_shingle"], m["num_hashes"], m["bands"],
+            m["n_buckets"],
+        )
+
     # -- write path --------------------------------------------------------
-    def append(self, batch: DataFrame, text_col: str = "text", id_col: str = "url") -> int:
+    def append(
+        self,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "url",
+        rows: DataFrame | None = None,
+    ) -> int:
         """Index a batch; returns new total_docs (docs with >=1 shingle).
 
         One batch-sized shuffle (groupBy bucket), one parquet file per
@@ -197,15 +222,8 @@ class NearDupIndex:
         partitioning."""
         m0 = self.manifest
         v = m0["version"] + 1
-        rows = _band_rows(
-            batch,
-            text_col,
-            id_col,
-            m0["k_shingle"],
-            m0["num_hashes"],
-            m0["bands"],
-            m0["n_buckets"],
-        )
+        if rows is None:
+            rows = self.band_rows(batch, text_col, id_col)
         path = self.path
 
         def _emit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -241,6 +259,7 @@ class NearDupIndex:
         id_col: str = "url",
         threshold: float = 0.7,
         max_bucket: int | None = 64,
+        rows: DataFrame | None = None,
     ) -> tuple[DataFrame, DataFrame]:
         """(fresh, dups): batch rows with no / at least one indexed
         near-duplicate at ``est_jaccard >= threshold``.
@@ -255,12 +274,11 @@ class NearDupIndex:
         filter does this upstream).  Docs with no shingles are always
         fresh."""
         m = self.manifest
-        rows = _band_rows(
-            batch, text_col, id_col, m["k_shingle"], m["num_hashes"], m["bands"],
-            m["n_buckets"],
-        ).select("doc_id", "band", "sig", "mhs", "b")
         if not m["files"]:
             return batch, batch.limit(0)
+        if rows is None:
+            rows = self.band_rows(batch, text_col, id_col)
+        rows = rows.select("doc_id", "band", "sig", "mhs", "b")
 
         # prune the index read to the buckets the batch's band sigs hash
         # into — driver-side metadata decision, O(batch distinct sigs)
@@ -278,17 +296,21 @@ class NearDupIndex:
             idx = _drop_hot_keys(idx, ["band", "sig"], max_bucket)
 
         K = m["num_hashes"]
-        cand = (
-            rows.join(idx, ["band", "sig"])
-            .select("doc_id", "matched_id", "mhs", "_imhs")
-            .distinct()  # same pair via several bands scores identically
-        )
         est = (
             F.size(F.filter(F.zip_with("mhs", "_imhs", lambda x, y: x == y), lambda v: v))
             / F.lit(float(K))
         ).alias("est_jaccard")
-        scored = cand.select("doc_id", "matched_id", est).filter(
-            F.col("est_jaccard") >= threshold
+        # score per band-collision row, THEN collapse the pair: the same
+        # pair via several bands yields the identical estimate, so the
+        # narrow (doc_id, matched_id, double) agg replaces a distinct over
+        # rows carrying both K-long signature arrays — the estimate costs
+        # K comparisons, the wide shuffle costs 2*K*8 bytes per row
+        scored = (
+            rows.join(idx, ["band", "sig"])
+            .select("doc_id", "matched_id", est)
+            .filter(F.col("est_jaccard") >= threshold)
+            .groupBy("doc_id", "matched_id")
+            .agg(F.max("est_jaccard").alias("est_jaccard"))
         )
         # best match per arriving doc: max estimate, ties resolved to the
         # smallest matched_id — two map-side-combinable aggs, no window

@@ -854,6 +854,14 @@ class CdcEngine:
             )
         is_candidate = (F.col("op") == "insert") & F.col("text").isNotNull()
         inserts = deduped.filter(is_candidate)
+        # ONE signature pass per batch: the band-rows frame is narrow
+        # (~200B x bands per doc), eagerly checkpointed, and shared between
+        # the match here and the post-merge append (minus the drop set) —
+        # without this the expensive minhash projection over the batch's
+        # text runs twice per batch
+        rows = self._ndidx.band_rows(
+            inserts, text_col="text", id_col=cfg.key_col
+        ).localCheckpoint()
         _, dups = self._ndidx.match_batch(
             self.spark,
             inserts,
@@ -861,6 +869,7 @@ class CdcEngine:
             id_col=cfg.key_col,
             threshold=cfg.near_dup_threshold,
             max_bucket=cfg.near_dup_max_bucket or None,
+            rows=rows,
         )
         # the prepared batch is LWW-deduped per key, so the key alone
         # identifies the dropped insert rows
@@ -870,7 +879,12 @@ class CdcEngine:
             *deduped.columns
         )
         fresh = filtered.filter(is_candidate)
-        return filtered, fresh, n_dropped
+        fresh_rows = rows.join(
+            drop_keys.select(F.col(cfg.key_col).cast("string").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        return filtered, fresh, fresh_rows, n_dropped
 
     def _apply_batch(self, batch_id: int, lo: int, hi: int, ddls: list[dict] | None) -> None:
         t0 = time.monotonic()
@@ -895,7 +909,7 @@ class CdcEngine:
         )
         deduped = prepare_changes(self.pages, slice_df, cfg)
 
-        cd_fresh = nd_fresh = None
+        cd_fresh = nd_fresh = nd_rows = None
         cd_dropped = nd_dropped = 0
         # every persist() in this batch is released in the finally below:
         # an exception between a pin and its unpersist (content filter
@@ -917,7 +931,7 @@ class CdcEngine:
                 # bloom/verify work is not re-run either
                 deduped = deduped.persist()
                 pinned.append(deduped)
-                deduped, nd_fresh, nd_dropped = self._near_dup_filter(deduped)
+                deduped, nd_fresh, nd_rows, nd_dropped = self._near_dup_filter(deduped)
 
             t_prep = time.monotonic() - t0
             t_feed = 0.0
@@ -953,7 +967,11 @@ class CdcEngine:
                 if self._cidx is not None and to_index is not None:
                     self._cidx.append(to_index, text_col="text", id_col=cfg.key_col)
                 if self._ndidx is not None and nd_fresh is not None:
-                    self._ndidx.append(nd_fresh, text_col="text", id_col=cfg.key_col)
+                    # rows= reuses the batch's checkpointed signatures —
+                    # the append pays only the bucket shuffle + write
+                    self._ndidx.append(
+                        nd_fresh, text_col="text", id_col=cfg.key_col, rows=nd_rows
+                    )
                 # Observation.get BLOCKS FOREVER when the CollectMetrics node ran
                 # zero tasks (a plan the optimizer collapses to an empty relation
                 # never resolves it) — an `except` around .get can't catch a hang.
