@@ -73,6 +73,9 @@ def corpus_pipeline(
     shingle_k: int = 5,
     num_hashes: int = 8,
     bands: int = 4,
+    semantic_tau: float | None = None,
+    semantic_k: int = 64,
+    semantic_dim: int = 256,
     min_words: int = 60,
     ppl_band: tuple[float, float] | None = None,
     contamination_threshold: float = 0.5,
@@ -96,6 +99,12 @@ def corpus_pipeline(
       3. exact content dedup (lowest id per md5)
       4. ``near_dup``: MinHash+LSH candidate pairs -> connected components
          -> keep the lowest id per near-dup cluster
+      4b. ``semantic_tau``: SemDeDup stage — hashing-TF embeddings
+          (``text_embed.tf_hash_embedding``, dim=``semantic_dim``) ->
+          ``semantic_dedup`` with k=``semantic_k`` cosine cells; drops
+          paraphrase/template variants whose token MULTISETS (not sets)
+          nearly coincide but that survive shingle-based LSH.  Off by
+          default (it adds a k-means training pass over the survivors).
       5. ``min_words``: C4/Gopher-style quality filter (keep==true)
       5b. ``ppl_band``: CCNet-style perplexity band over a self-trained
           bigram LM (operators/ngram_lm.py); docs outside [lo, hi] — and
@@ -163,6 +172,25 @@ def corpus_pipeline(
             F.col("doc_id") != F.col("keeper")
         ).select(F.col("doc_id").alias(id_col))
         out = _note("near_dup_removed", out.join(drop, id_col, "left_anti"))
+
+    if semantic_tau is not None:
+        from ape_dts_spark.operators.semantic_dedup import semantic_dedup
+        from ape_dts_spark.operators.text_embed import tf_hash_embedding
+
+        # the k-means trainer iterates (driver-side centroid loop forcing
+        # the upstream per round) — checkpoint the survivors first so each
+        # iteration re-reads a materialized frame, not the whole pipeline
+        out = out.localCheckpoint(eager=False)
+        emb = tf_hash_embedding(out, id_col=id_col, text_col=text_col, dim=semantic_dim)
+        _, sem_drops = semantic_dedup(
+            emb, k=semantic_k, tau=semantic_tau, id_col=id_col, vec_col="embedding"
+        )
+        out = _note(
+            "semantic_dedup_removed",
+            out.join(
+                sem_drops.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+            ),
+        )
 
     if min_words:
         keepers = quality_filter(out, id_col, text_col, min_words=min_words).filter(

@@ -157,3 +157,36 @@ def test_corpus_pipeline_ppl_band_stage(spark):
     ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert 70_000 not in ids and 70_001 not in ids
     assert set(range(20)) <= ids
+
+
+def test_corpus_pipeline_semantic_stage(spark):
+    """SemDeDup stage: a word-order PERMUTATION of a doc has an identical
+    TF vector (cos 1.0) but different shingles — shingle-LSH near-dup
+    misses it, the semantic stage drops it (keep rule retains one)."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+        "nu xi omicron pi rho sigma tau upsilon"
+    )
+    permuted = " ".join(reversed(base.split()))
+    rows = [
+        (1, "https://www.a.com/1", base),
+        (2, "https://www.a.com/2", permuted),  # same multiset, shuffled order
+        (3, "https://www.a.com/3", "totally different words about spark plans here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    # without the stage both survive (shingle sets disjoint => no LSH pair)
+    out0 = corpus_pipeline(docs, min_words=0, domain_cap_n=None)
+    assert {r["doc_id"] for r in out0.collect()} == {1, 2, 3}
+    out1, rep = corpus_pipeline(
+        docs,
+        min_words=0,
+        domain_cap_n=None,
+        semantic_tau=0.99,
+        semantic_k=2,
+        with_report=True,
+    )
+    ids = {r["doc_id"] for r in out1.collect()}
+    assert 3 in ids and len(ids & {1, 2}) == 1  # one of the pair dropped
+    assert rep.stages["semantic_dedup_removed"] == 2
+    # composed stage must not pin cache either
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
