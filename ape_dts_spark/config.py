@@ -139,4 +139,5 @@ def load_task_config(path_or_text: str, is_text: bool = False) -> EngineConfig:
         near_dup_threshold=float(snk.get("near_dup_threshold", "0.8")),
         near_dup_buckets=int(snk.get("near_dup_buckets", "64")),
         near_dup_max_bucket=int(snk.get("near_dup_max_bucket", "64")),
+        index_compact_max_files=int(snk.get("index_compact_max_files", "64")),
     )

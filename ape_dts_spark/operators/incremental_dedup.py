@@ -320,6 +320,60 @@ class ContentIndex:
             "max_segments_per_bucket": max(segs, default=0),
         }
 
+    def compact(self, spark: SparkSession) -> int:
+        """Fold each bucket's N per-append data files into ONE file and its
+        bloom segments into one right-sized segment; returns the new
+        manifest version.
+
+        Appends add a data file + bloom segment per touched bucket, so a
+        per-batch CDC engine accumulates files linearly with batch count —
+        verify-joins then pay file listing/footer overhead and the bloom
+        check loops over per-batch segments.  One distributed pass (a task
+        per bucket re-reads that bucket's files, dropping duplicate hashes)
+        + one atomic manifest publish; superseded files become
+        unreferenced, never a torn index."""
+        m0 = self.manifest
+        v = m0["version"] + 1
+        files = [p for paths in m0["files"].values() for p in paths]
+        if not files:
+            return m0["version"]
+        rows = spark.read.parquet(*files).select(
+            "h",
+            "b",
+            F.conv(F.substring("h", 1, 15), 16, 10).cast("long").alias("h1"),
+            (F.conv(F.substring("h", 17, 15), 16, 10).cast("long") * 2 + 1).alias("h2"),
+            "url",
+        )
+        path = self.path
+
+        def _emit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            b = int(key[0])
+            pdf = pdf.drop_duplicates(subset=["h"])
+            part = os.path.join(path, "data", f"v{v}_b{b}_{os.getpid()}.parquet")
+            pdf[["h", "b", "url"]].to_parquet(part, index=False)
+            blob = _build_segment(
+                pdf["h1"].to_numpy(np.int64), pdf["h2"].to_numpy(np.int64)
+            )
+            bpath = os.path.join(path, "bloom", f"v{v}_b{b}_{os.getpid()}.bloom")
+            with open(bpath, "wb") as fh:
+                fh.write(blob)
+            return pd.DataFrame(
+                {"b": [b], "n": [len(pdf)], "part": [part], "bloom": [bpath]}
+            )
+
+        written = (
+            rows.groupBy("b")
+            .applyInPandas(_emit, schema="b int, n long, part string, bloom string")
+            .collect()
+        )
+        m = json.loads(json.dumps(m0))
+        m["version"] = v
+        m["files"] = {str(r["b"]): [r["part"]] for r in written}
+        m["blooms"] = {str(r["b"]): [r["bloom"]] for r in written}
+        m["total_keys"] = sum(int(r["n"]) for r in written)
+        self._publish(m)
+        return v
+
     def rebuild_blooms(self, spark: SparkSession) -> int:
         """Fold each bucket's N segments into one right-sized segment.
 

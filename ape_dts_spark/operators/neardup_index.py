@@ -330,6 +330,53 @@ class NearDupIndex:
         return fresh, dups
 
     # -- maintenance -------------------------------------------------------
+    def compact(self, spark: SparkSession) -> int:
+        """Fold each bucket's N per-append files into ONE file; returns the
+        new manifest version.
+
+        Every append adds a file per touched bucket, so a per-batch CDC
+        engine accumulates files linearly with batch count (10k batches x
+        64 buckets = 640k small files) — the per-match read then pays file
+        listing/footer overhead instead of data.  Compaction is one
+        distributed pass (a task per bucket re-reads that bucket's files,
+        collapsing repeated (doc_id, band, sig) generations) and one atomic
+        manifest publish; superseded files become unreferenced, never a
+        torn index (delete them out-of-band once no reader can hold the
+        old manifest).  Run when stats()['max_files_per_bucket'] makes
+        match latency file-bound — tens are fine, thousands are not."""
+        m0 = self.manifest
+        v = m0["version"] + 1
+        files = [p for paths in m0["files"].values() for p in paths]
+        if not files:
+            return m0["version"]
+        rows = spark.read.parquet(*files).withColumn(
+            "b",
+            F.pmod(F.xxhash64(F.col("band"), F.col("sig")), F.lit(m0["n_buckets"]))
+            .cast("int"),
+        )
+        path = self.path
+
+        def _emit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            b = int(key[0])
+            pdf = pdf.drop_duplicates(subset=["doc_id", "band", "sig"])
+            part = os.path.join(path, "data", f"v{v}_b{b}_{os.getpid()}.parquet")
+            pdf[["band", "sig", "doc_id", "mhs"]].to_parquet(part, index=False)
+            return pd.DataFrame(
+                {"b": [b], "n0": [int((pdf["band"] == 0).sum())], "part": [part]}
+            )
+
+        written = (
+            rows.groupBy("b")
+            .applyInPandas(_emit, schema="b int, n0 long, part string")
+            .collect()
+        )
+        m = json.loads(json.dumps(m0))
+        m["version"] = v
+        m["files"] = {str(r["b"]): [r["part"]] for r in written}
+        m["total_docs"] = sum(int(r["n0"]) for r in written)
+        self._publish(m)
+        return v
+
     def stats(self) -> dict:
         files = [len(v) for v in self.manifest["files"].values()]
         return {

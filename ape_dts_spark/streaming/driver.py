@@ -192,6 +192,14 @@ class EngineConfig:
     near_dup_buckets: int = 64
     # hot band-signature cap forwarded to NearDupIndex.match_batch
     near_dup_max_bucket: int = 64
+    # auto-compact either sidecar index when any bucket accumulates more
+    # than this many per-append files/segments (every batch appends one per
+    # touched bucket, so file count otherwise grows linearly with batch
+    # count — 10k batches x 64 buckets = 640k small files and the match
+    # read becomes listing/footer-bound).  Compaction is one distributed
+    # pass + one atomic manifest publish, same crash contract as appends.
+    # 0 disables.
+    index_compact_max_files: int = 64
     # catalog directory for in-stream table-lifecycle DDL (reference
     # ddl_type.rs:7-36 CreateTable/DropTable/RenameTable/Create+DropDatabase,
     # replayed as change events in ddl_test/src_test.sql:1-60).  When set,
@@ -972,6 +980,23 @@ class CdcEngine:
                     self._ndidx.append(
                         nd_fresh, text_col="text", id_col=cfg.key_col, rows=nd_rows
                     )
+                # bounded index maintenance (the sidecar analog of the lake's
+                # maybe_compact): fold per-append files once any bucket's
+                # count exceeds the cap, so match/verify reads stay
+                # data-bound instead of file-listing-bound over a long tail
+                if cfg.index_compact_max_files > 0:
+                    if (
+                        self._cidx is not None
+                        and self._cidx.stats()["max_segments_per_bucket"]
+                        > cfg.index_compact_max_files
+                    ):
+                        self._cidx.compact(self.spark)
+                    if (
+                        self._ndidx is not None
+                        and self._ndidx.stats()["max_files_per_bucket"]
+                        > cfg.index_compact_max_files
+                    ):
+                        self._ndidx.compact(self.spark)
                 # Observation.get BLOCKS FOREVER when the CollectMetrics node ran
                 # zero tasks (a plan the optimizer collapses to an empty relation
                 # never resolves it) — an `except` around .get can't catch a hang.

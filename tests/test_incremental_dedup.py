@@ -123,3 +123,30 @@ def test_create_refuses_existing_index(tmp_path):
     ContentIndex.create(str(tmp_path / "idx"))
     with pytest.raises(FileExistsError):
         ContentIndex.create(str(tmp_path / "idx"))
+
+
+def test_compact_folds_files_and_preserves_membership(spark, tmp_path):
+    docs = _docs(spark)
+    idx = ContentIndex.create(str(tmp_path / "cidx"), n_buckets=4)
+    for m in (2, 3):  # overlapping appends -> duplicate hash generations
+        idx.append(docs.filter(f"CAST(url AS BIGINT) % {m} = 0"))
+    pre = idx.stats()
+    assert pre["max_segments_per_bucket"] > 1
+    batch = docs.filter("CAST(url AS BIGINT) % 5 = 0")
+    _, pre_dups = idx.dedup_batch(spark, batch)
+    pre_set = {r["url"] for r in pre_dups.collect()}
+
+    v = idx.compact(spark)
+    post = idx.stats()
+    assert post["max_segments_per_bucket"] == 1
+    assert post["version"] == v
+    # duplicate generations collapsed to distinct hashes
+    import duckdb
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT count(DISTINCT md5(text)) FROM read_parquet('{SF}/documents.parquet') "
+        f"WHERE doc_id % 2 = 0 OR doc_id % 3 = 0"
+    ).fetchone()[0]
+    assert post["total_keys"] == want
+    _, post_dups = idx.dedup_batch(spark, batch)
+    assert {r["url"] for r in post_dups.collect()} == pre_set

@@ -222,3 +222,27 @@ near_dup_max_bucket = 128
         is_text=True,
     )
     assert cfg2.near_dup_index_path is None
+
+
+def test_engine_auto_compacts_index(spark, tmp_path):
+    """With index_compact_max_files=1, every batch past the first trips the
+    per-bucket file cap and the engine folds the index; the run ends with
+    one file per touched bucket and unchanged dedup behavior."""
+    pages, cfg = _setup(
+        spark,
+        tmp_path,
+        EVENTS,
+        near_dup_index_path=str(tmp_path / "ndidx"),
+        near_dup_threshold=0.5,
+        index_compact_max_files=1,
+    )
+    eng = CdcEngine(spark, cfg)
+    eng.run()
+    st = eng._ndidx.stats()
+    assert st["max_files_per_bucket"] == 1
+    assert st["total_docs"] == 3  # same merged-insert set as the uncompacted run
+    urls = {
+        r["url"]
+        for r in pages.refresh().read(spark).filter("url LIKE 'https://a.com/%'").collect()
+    }
+    assert "https://a.com/3" not in urls  # near-dup still dropped mid-run

@@ -190,3 +190,37 @@ def test_create_param_validation(tmp_path):
     NearDupIndex.create(str(tmp_path / "y"))
     with pytest.raises(FileExistsError):
         NearDupIndex.create(str(tmp_path / "y"))
+
+
+def test_compact_folds_files_and_preserves_matches(spark, tmp_path):
+    texts = [
+        (i, f"document number {i} with some shared vocabulary plus unique "
+            f"token{i} marker{i} body words going on for a while here")
+        for i in range(12)
+    ]
+    idx = NearDupIndex.create(str(tmp_path / "ndi"), n_buckets=4)
+    # several appends -> several files per bucket (incl. duplicate
+    # generations of doc 0)
+    for lo in (0, 4, 8):
+        idx.append(
+            spark.createDataFrame(texts[lo : lo + 4], "url long, text string")
+        )
+    idx.append(spark.createDataFrame(texts[:1], "url long, text string"))  # re-append
+    pre = idx.stats()
+    assert pre["max_files_per_bucket"] > 1
+    probe = spark.createDataFrame(texts[2:3], "url long, text string")
+    _, pre_dups = idx.match_batch(spark, probe, threshold=0.9)
+    pre_rows = {(r["url"], int(r["matched_id"]), r["est_jaccard"]) for r in pre_dups.collect()}
+
+    v = idx.compact(spark)
+    post = idx.stats()
+    assert post["max_files_per_bucket"] == 1
+    assert post["version"] == v
+    # duplicate generations collapsed: total_docs == 12 distinct signatures
+    assert post["total_docs"] == 12
+    _, post_dups = idx.match_batch(spark, probe, threshold=0.9)
+    post_rows = {(r["url"], int(r["matched_id"]), r["est_jaccard"]) for r in post_dups.collect()}
+    assert post_rows == pre_rows
+    # index still loads fresh and keeps matching
+    idx2 = NearDupIndex.load(str(tmp_path / "ndi"))
+    assert idx2.stats()["total_docs"] == 12
