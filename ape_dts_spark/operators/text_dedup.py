@@ -156,11 +156,20 @@ def _shingle_array(text_col, k: int):
 
 
 def word_shingles(docs: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document (JVM-side: split + transform + explode)."""
-    return (
-        _spread(docs)
-        .select(F.col(id_col), _shingle_array(F.col(text_col), k).alias("shingles"))
-        .select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    """Distinct k-word shingles per document (JVM-side: split + transform + explode).
+
+    The array expression is inlined INTO the explode (one select).  Aliasing
+    the array in a lower Project and exploding the column looks identical but
+    is ~8x slower here: InferFiltersFromGenerate adds ``size(arr) > 0`` on
+    the aliased expression, PushDownPredicates moves it below ``_spread``'s
+    repartition Exchange, and the whole interpreted higher-order shingle
+    expression is then re-evaluated on the UN-spread input (1-2 scan
+    partitions, i.e. nearly serial) before the parallel pass runs (r6
+    measurement: 3.8s -> 0.5s on the sf0.1 corpus).  With the generator
+    inlined the rule does not fire and the array is built exactly once,
+    post-repartition."""
+    return _spread(docs).select(
+        F.col(id_col), F.explode(_shingle_array(F.col(text_col), k)).alias("shingle")
     )
 
 
@@ -211,18 +220,28 @@ def minhash_signatures_fused(
     k: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """Per-doc minhash signatures with ZERO shuffle.
+    """Per-doc minhash signatures with ONE fused hashing pass and a
+    doc-count-bounded shuffle.
 
     Bit-for-bit identical to
     ``minhash_signatures(word_shingles(docs, id_col, text_col, k), ...)``
-    but the shingling, base hash and per-permutation min all happen inside
-    ONE narrow projection over the scan (higher-order array functions:
-    transform + array_min), so no (doc, shingle) row ever crosses the wire.
-    The explode -> groupBy(doc_id) path shuffles every shingle row — at
-    10^10 docs x ~10^2 shingles that is the dominant cost of LSH dedup;
-    here the per-doc state never leaves its input partition.  Docs with no
-    non-empty shingle produce no signature row (matching the groupBy path,
-    where they have no rows to aggregate).
+    (pinned by test_fused_minhash_equivalence): the shingling and the base
+    hash happen inside ONE narrow generator expression over the scan, the
+    already-hashed 8-byte values are exploded, and the K per-permutation
+    mins are a map-side-combined groupBy — partial aggregation collapses
+    each doc to one (K+1)-long row inside its input partition (docs never
+    straddle partitions), so the exchange moves ~8(K+1) bytes per DOC, not
+    per shingle.  Docs with no non-empty shingle produce no signature row
+    (explode of an empty/NULL array emits nothing — matching the groupBy
+    path, where they have no rows to aggregate).
+
+    This replaced round 5's zero-shuffle transform+array_min formulation:
+    higher-order functions are interpreted (no codegen), the K min
+    transforms re-scanned the hashed array K times, and the ``size(_xs)>0``
+    guard was pushed below ``_spread``'s repartition where it re-evaluated
+    the whole md5 chain nearly serially — measured 3.7s vs 0.5s for the
+    same signatures on the sf0.1 corpus (r6).  Here every per-element op
+    after the generator runs in whole-stage codegen.
     """
     a, b = minhash_params(num_hashes)
     base = F.transform(
@@ -232,16 +251,14 @@ def minhash_signatures_fused(
             F.lit(MINHASH_PRIME),
         ),
     )
-    xs = _spread(docs).select(F.col(id_col), base.alias("_xs")).filter(F.size("_xs") > 0)
+    rows = _spread(docs).select(F.col(id_col), F.explode(base).alias("_x"))
     mins = [
-        F.array_min(
-            F.transform(
-                F.col("_xs"), lambda x: (F.lit(a[i]) * x + F.lit(b[i])) % F.lit(MINHASH_PRIME)
-            )
-        ).alias(f"mh{i}")
+        F.min((F.lit(a[i]) * F.col("_x") + F.lit(b[i])) % F.lit(MINHASH_PRIME)).alias(
+            f"mh{i}"
+        )
         for i in range(num_hashes)
     ]
-    return xs.select(F.col(id_col), *mins)
+    return rows.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(
@@ -265,6 +282,13 @@ def lsh_candidate_pairs(
     ``groupBy + left_anti`` (see ``_drop_hot_keys``) so the megabucket never
     co-locates on one task.  Set None to disable.
     """
+    # The signature frame is referenced FOUR times below (self-join left and
+    # right, plus the hot-key count and its anti-join probe side) — pin it
+    # with a lazy localCheckpoint so the shingle/md5 signature computation
+    # runs once and the four consumers read the cached (doc, K longs) rows.
+    # eager=False keeps composition lazy (first downstream action
+    # materializes); blocks are reclaimed when the frame is GC'd.
+    signatures = signatures.localCheckpoint(eager=False)
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -312,11 +336,19 @@ def ngram_jaccard_pairs(
     """
     sh = word_shingles(docs, id_col, text_col, k)
     # set sizes fused per doc (size of the distinct-shingle array) — same
-    # value as counting sh's rows per doc, without that groupBy's shuffle
+    # value as counting sh's rows per doc, without that groupBy's shuffle.
+    # The emptiness guard is the CHEAP equivalent predicate on the text
+    # itself, applied BEFORE the projection: ``size(shingles) > 0`` iff the
+    # trimmed text is non-empty (split of a non-empty trim yields only
+    # non-empty words, so the first shingle is non-empty; NULL/blank text
+    # yields only the empty shingle, which the array filter drops).
+    # Filtering on the aliased size column instead re-evaluates the whole
+    # interpreted shingle expression below the repartition (see
+    # word_shingles docstring).
     sizes = (
         _spread(docs)
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(F.col(id_col), F.size(_shingle_array(F.col(text_col), k)).alias("n"))
-        .filter(F.col("n") > 0)
     )
     if max_doc_freq is not None:
         sh = _drop_hot_keys(sh, ["shingle"], max_doc_freq)
@@ -379,43 +411,20 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def simhash_fused(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """simhash() with ZERO shuffle: one md5 digest per distinct word inside
-    a narrow projection, then each of the 64 bit-votes as
-    ``2*count(bit set) - n_words`` over the digest array (filter + size) —
-    no (doc, word) row ever leaves its partition.  Bit-for-bit identical
-    fingerprints to the explode -> groupBy path (the vote for bit b is
-    (+1 per set) + (-1 per unset) = 2*set - n); docs with no non-empty word
-    produce no row on either path.  Equivalence pinned by
-    test_fused_simhash_equivalence."""
-    words_arr = F.filter(
-        F.array_distinct(_norm_words(F.col(text_col))), lambda w: F.length(w) > 0
-    )
-    digs = F.transform(words_arr, lambda w: F.substring(F.md5(w), 1, 16))
-    d = _spread(docs).select(F.col(id_col), digs.alias("_d")).filter(F.size("_d") > 0)
-    n = F.size(F.col("_d"))
+    """simhash() — kept as an alias for the explode -> groupBy formulation.
 
-    def vote(b: int):
-        j, shift = b // 4, b % 4
-        setc = F.size(
-            F.filter(
-                F.col("_d"),
-                lambda x: F.shiftright(
-                    F.conv(F.substring(x, j + 1, 1), 16, 10).cast("int"), shift
-                ).bitwiseAND(F.lit(1))
-                == 1,
-            )
-        )
-        return F.lit(2) * setc - n
-
-    def half(off: int):
-        e = F.lit(0).cast("long")
-        for k in range(32):
-            e = e + F.when(vote(off + k) > 0, F.lit(1 << k).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return e
-
-    return d.select(F.col(id_col), half(32).alias("fp_hi"), half(0).alias("fp_lo"))
+    Round 5's version computed the 64 bit-votes as 64 interpreted
+    higher-order ``filter + size`` passes over a per-doc digest array
+    ("zero shuffle"), with a ``size(_d) > 0`` guard that predicate pushdown
+    re-evaluated below ``_spread``'s repartition on the un-spread input.
+    Measured in r6: 64 interpreted array passes per doc cost strictly more
+    CPU than the explode path's whole-stage-codegen aggregate, at every
+    scale — and the groupBy's exchange moves only the 65-long partial-agg
+    row per doc (docs never straddle partitions), not per-word rows.  The
+    explode form wins on both axes, so the fused variant now IS the explode
+    form (fingerprints were pinned bit-identical between the two all
+    along — test_fused_simhash_equivalence)."""
+    return simhash(docs, id_col, text_col)
 
 
 def simhash_near_dups(
@@ -430,6 +439,10 @@ def simhash_near_dups(
     """
     if max_hamming > 3:
         raise ValueError("4-block blocking guarantees recall only for max_hamming <= 3")
+    # the fingerprint frame feeds BOTH sides of the block self-join — pin it
+    # (lazy localCheckpoint, 3 longs per doc) so the md5 fingerprint pass
+    # runs once, not once per join side
+    fps = fps.localCheckpoint(eager=False)
     blocks = F.array(
         F.shiftrightunsigned(F.col("fp_hi"), 16),
         F.col("fp_hi").bitwiseAND(F.lit(0xFFFF)),
@@ -512,10 +525,13 @@ def decontaminate(
     else:
         train_vocab = train_sh.select("shingle").distinct()
     eval_sh = word_shingles(evalset, id_col, text_col, k)
+    # cheap equivalent emptiness guard BEFORE the size projection (see the
+    # ngram_jaccard_pairs sizes comment): non-empty trimmed text <=> at
+    # least one non-empty shingle
     sizes = (
         _spread(evalset)
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(F.col(id_col), F.size(_shingle_array(F.col(text_col), k)).alias("n_shingles"))
-        .filter(F.col("n_shingles") > 0)
     )
     matched = (
         eval_sh.join(train_vocab, "shingle", "left_semi")
@@ -574,11 +590,11 @@ def contaminated_train_docs(
     )
     eval_sizes = (
         _spread(evalset)
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(
             F.col(id_col).alias("_eid"),
             F.size(_shingle_array(F.col(text_col), k)).alias("_esz"),
         )
-        .filter(F.col("_esz") > 0)
     )
     inter = (
         train_sh.join(eval_sh, "shingle")

@@ -169,31 +169,41 @@ def test_fused_minhash_equivalence(spark):
     assert 9001 not in ids and 9002 not in ids and 9003 in ids
 
 
-def test_fused_paths_have_zero_exchange(spark):
-    """The fused signature/fingerprint/repetition plans must contain NO
-    Exchange — that structural property (no exploded per-shingle/per-word
-    row crosses the wire) is the entire point of the fusion; pin it so a
-    refactor can't silently reintroduce the shuffle.  The docs scan itself
-    may carry the _spread repartition, so measure against a pre-spread
-    baseline: fused plan exchanges == baseline exchanges."""
+def test_fused_paths_plan_shape(spark):
+    """Pin the r6 plan contract of the signature/fingerprint/repetition
+    paths.  The signature paths are explode -> map-side-combined groupBy:
+    exactly ONE hash exchange beyond the _spread repartition, and the
+    aggregation below that exchange must be PARTIAL (the per-doc combine is
+    what bounds the shuffle at ~(K+1) longs per doc instead of per-shingle
+    rows).  repetition_stats stays a zero-exchange narrow projection.  The
+    r5 zero-shuffle higher-order formulation was retired after measurement:
+    interpreted transform/filter passes re-scanned the hashed arrays K (or
+    64) times and its size() guard was re-evaluated below the repartition
+    (see minhash_signatures_fused docstring)."""
     from ape_dts_spark.operators.text_analysis import repetition_stats
     from ape_dts_spark.operators.text_dedup import (
         minhash_signatures_fused,
         simhash_fused,
     )
-    from ape_dts_spark.plans.inspect import exchange_count
+    from ape_dts_spark.plans.inspect import exchange_count, explain_str
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     base = exchange_count(docs.select("doc_id"))
-    # _spread may add one round-robin repartition on a small scan; anything
-    # beyond base+1 means a real hash shuffle crept back in
-    allowed = base + 1
-    assert exchange_count(minhash_signatures_fused(docs, num_hashes=8)) <= allowed
-    assert exchange_count(simhash_fused(docs)) <= allowed
-    assert exchange_count(repetition_stats(docs)) <= allowed
-    # the explode->groupBy formulation costs a hash Exchange on top
-    sig_old = minhash_signatures(word_shingles(docs, "doc_id", "text", k=3), "doc_id", 8)
-    assert exchange_count(sig_old) > allowed - 1
+    # _spread may add one round-robin repartition on a small scan, and the
+    # groupBy adds exactly one hash exchange; more means a surprise shuffle
+    allowed = base + 2
+    sig = minhash_signatures_fused(docs, num_hashes=8)
+    assert exchange_count(sig) <= allowed
+    assert "partial_min" in explain_str(sig, "simple")
+    fp = simhash_fused(docs)
+    assert exchange_count(fp) <= allowed
+    assert "partial_sum" in explain_str(fp, "simple")
+    # repetition_stats remains fully fused: no exchange beyond _spread
+    assert exchange_count(repetition_stats(docs)) <= base + 1
+    # no InferFiltersFromGenerate size() guard below the signature explode:
+    # the generator is inlined, so the plan carries no size(...) > 0 filter
+    # re-evaluating the shingle expression pre-repartition
+    assert "size(filter(array_distinct" not in explain_str(sig, "simple").replace(" ", "")
 
 
 def test_domain_cap_quota_and_determinism(spark):
