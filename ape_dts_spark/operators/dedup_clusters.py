@@ -70,28 +70,32 @@ def connected_components(
 
     spark = pairs.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # the loop reads `pairs` several times (node set, initial edge list) —
-    # pin the pair list first so an expensive upstream (the LSH candidate
-    # pipeline) runs ONCE, not per-branch
-    pairs = pairs.persist()
-    n_pairs = pairs.count()
-    if n_pairs == 0:
+    # ONE bounded probe action decides the strategy AND (in the common case)
+    # already delivers the data: collect at most driver_max_pairs+1 rows.
+    # If the list fits, those rows ARE the complete pair list — no separate
+    # count job, no persist, no second pass over the expensive LSH pipeline
+    # (r5 ran persist + count + collect = two executions' worth of job
+    # overhead for graphs that end on the driver anyway).  The collect is
+    # BOUNDED by driver_max_pairs (a few MB).
+    head = pairs.select(a_col, b_col).limit(driver_max_pairs + 1).collect()
+    if len(head) == 0:
         # short-circuit: with no pairs there is nothing to propagate, and an
         # all-empty loop would never satisfy the sum-based convergence test
         # (the Observation over zero rows yields NULL every round)
-        out = pairs.select(
+        return pairs.select(
             F.col(a_col).alias("doc_id"), F.col(a_col).alias("cluster_id")
         ).limit(0)
-        pairs.unpersist()
-        return out
-    if n_pairs <= driver_max_pairs:
+    if len(head) <= driver_max_pairs:
         # Small-graph strategy (the broadcast-join-threshold idiom): the
         # iterative loop pays ~1s of job/scheduling overhead PER ROUND,
-        # which dwarfs union-find on a graph this size.  The collect is
-        # BOUNDED by driver_max_pairs (a few MB) — LSH's bucket caps make
-        # huge pair lists rare, but when they happen the distributed loop
-        # below is auto-selected, so the operator stays a scale path.
-        return _driver_union_find(spark, pairs, a_col, b_col)
+        # which dwarfs union-find on a graph this size.  LSH's bucket caps
+        # make huge pair lists rare, but when they happen the distributed
+        # loop below is auto-selected, so the operator stays a scale path.
+        return _driver_union_find(spark, pairs, head, a_col, b_col)
+    # big graph: the loop reads `pairs` several times (node set, initial
+    # edge list) — pin the pair list so the expensive upstream (the LSH
+    # candidate pipeline) runs once more at most, not per-branch
+    pairs = pairs.persist()
     nodes = (
         pairs.select(F.col(a_col).alias("n"))
         .union(pairs.select(F.col(b_col).alias("n")))
@@ -203,10 +207,12 @@ def connected_components(
     return out
 
 
-def _driver_union_find(spark, pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+def _driver_union_find(spark, pairs: DataFrame, rows, a_col: str, b_col: str) -> DataFrame:
     """Union-find with path compression over a BOUNDED collected pair list —
     the small-graph arm of connected_components.  Same fixpoint as the
-    distributed loop: every node labeled with the min id reachable."""
+    distributed loop: every node labeled with the min id reachable.
+    ``rows`` is the already-collected pair list (the strategy probe's
+    result); ``pairs`` is only consulted for the id column's type."""
     parent: dict = {}
     nodes: set = set()
 
@@ -218,7 +224,7 @@ def _driver_union_find(spark, pairs: DataFrame, a_col: str, b_col: str) -> DataF
             parent[x], x = r, parent[x]
         return r
 
-    for row in pairs.select(a_col, b_col).collect():
+    for row in rows:
         a, b = row[0], row[1]
         nodes.add(a)
         nodes.add(b)
@@ -227,13 +233,12 @@ def _driver_union_find(spark, pairs: DataFrame, a_col: str, b_col: str) -> DataF
             # union by MIN id, so roots are exactly the distributed labels
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    rows = sorted((n, find(n)) for n in nodes)
+    out = sorted((n, find(n)) for n in nodes)
     id_type = pairs.schema[a_col].dataType
     schema = T.StructType(
         [T.StructField("doc_id", id_type), T.StructField("cluster_id", id_type)]
     )
-    pairs.unpersist()
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(out, schema)
 
 
 def cluster_keep_list(components: DataFrame) -> DataFrame:

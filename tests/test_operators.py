@@ -743,7 +743,9 @@ def test_connected_components_distributed_matches_union_find(spark):
     }
     uf = {
         r.doc_id: r.cluster_id
-        for r in _driver_union_find(spark, pairs, "a", "b").collect()
+        for r in _driver_union_find(
+            spark, pairs, pairs.select("a", "b").collect(), "a", "b"
+        ).collect()
     }
     assert dist == uf
 
