@@ -537,10 +537,15 @@ def doc_chunk(
             F.least(F.lit(chunk_words).cast("long"), n - c * stride).alias("n_words"),
         ),
     )
+    # emptiness guard as the cheap codegen predicate on the raw text
+    # (non-empty trimmed text <=> at least one non-empty token): filtering
+    # on size(_w) would be substituted below _spread's repartition and
+    # re-evaluate the interpreted words expression on the un-spread input
+    # (see text_dedup.word_shingles)
     return (
         _spread(docs)
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(F.col(id_col), words.alias("_w"))
-        .filter(F.size("_w") > 0)
         .select(F.col(id_col), F.explode(chunks).alias("_c"))
         .select(
             F.col(id_col),
@@ -592,10 +597,18 @@ def winnowing_fingerprints(
     fps = F.array_distinct(
         F.transform(wins, lambda j: F.array_min(F.slice(F.col("_h"), j + 1, window)))
     )
+    # the >=k-words guard as cheap codegen predicates on the raw text:
+    # for non-empty trimmed text the split yields exactly the non-empty
+    # words, so its size equals size(_w); filtering on size(_w) itself
+    # would be substituted below _spread's repartition and re-evaluate the
+    # interpreted words expression there (see text_dedup.word_shingles)
+    enough = (F.length(F.trim(F.col(text_col))) > 0) & (
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) >= k
+    )
     return (
         _spread(docs)
+        .filter(enough)
         .select(F.col(id_col), words.alias("_w"))
-        .filter(F.size("_w") >= k)
         .select(F.col(id_col), gram_h.alias("_h"))
         .select(F.col(id_col), F.explode(fps).alias("fp"))
     )
