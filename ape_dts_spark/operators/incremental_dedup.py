@@ -122,6 +122,53 @@ def _check_segment(blob: bytes, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     return bits[pos].all(axis=1)
 
 
+def _vacuum_index(path: str, keep_last: int, file_keys: tuple[str, ...]) -> int:
+    """Sidecar-index GC shared by ContentIndex and NearDupIndex: delete
+    every data/bloom file referenced ONLY by manifests older than the
+    newest ``keep_last`` ones, then those manifests themselves.  Returns
+    the number of data files deleted.
+
+    Safe by construction: a file is deleted only if some OLD manifest
+    references it and NO kept manifest does — in-flight files an appender
+    has written but not yet published are referenced by no manifest and
+    are never touched.  Without this, every auto-compact leaves its
+    superseded generation on disk and a long-running engine's sidecar
+    grows O(index size x compaction count) (r5 ADVICE)."""
+    meta = os.path.join(path, "_meta")
+    versions = sorted(
+        int(f[len("manifest_v") : -len(".json")])
+        for f in os.listdir(meta)
+        if f.startswith("manifest_v")
+    )
+    keep_last = max(1, keep_last)
+    old, kept = versions[:-keep_last], versions[-keep_last:]
+    if not old:
+        return 0
+
+    def _refs(v: int) -> set:
+        with open(os.path.join(meta, f"manifest_v{v}.json")) as fh:
+            m = json.load(fh)
+        out: set = set()
+        for k in file_keys:
+            for paths in m.get(k, {}).values():
+                out.update(paths)
+        return out
+
+    live: set = set()
+    for v in kept:
+        live |= _refs(v)
+    removed = 0
+    for v in old:
+        for p in _refs(v) - live:
+            try:
+                os.unlink(p)
+                removed += 1
+            except FileNotFoundError:
+                pass  # already gone (idempotent re-run)
+        os.unlink(os.path.join(meta, f"manifest_v{v}.json"))
+    return removed
+
+
 class ContentIndex:
     """Append-only content-hash index with per-bucket bloom segments."""
 
@@ -373,6 +420,13 @@ class ContentIndex:
         m["total_keys"] = sum(int(r["n"]) for r in written)
         self._publish(m)
         return v
+
+    def vacuum(self, keep_last: int = 2) -> int:
+        """Delete files superseded by compaction (see _vacuum_index): keep
+        the newest ``keep_last`` manifest generations, unlink everything
+        only they no longer reference.  The engine calls this after
+        auto-compact when snapshot retention is enabled."""
+        return _vacuum_index(self.path, keep_last, ("files", "blooms"))
 
     def rebuild_blooms(self, spark: SparkSession) -> int:
         """Fold each bucket's N segments into one right-sized segment.

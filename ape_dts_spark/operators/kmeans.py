@@ -97,7 +97,16 @@ def kmeans(
     driver-side (k·dim bounded — feed them to `ivf_assign`-style probes or
     persist as a table); inertia: sum of squared distances at the final
     assignment (the quantity Lloyd's monotonically decreases)."""
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None:
+        # empty corpus (e.g. upstream pipeline stages dropped every doc):
+        # no centroids to train, no rows to assign — return the typed empty
+        # shapes instead of crashing on len(None) (r5 ADVICE)
+        empty = corpus.select(
+            F.col(id_col), F.col(vec_col), F.lit(0).cast("int").alias("cell")
+        ).limit(0)
+        return empty, [], 0.0
+    dim = len(head[0])
     seeds = ivf_assign(corpus, n_cells=k, id_col=id_col, vec_col=vec_col, seed=seed)[1]
     centroids = [
         (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in seeds.collect()

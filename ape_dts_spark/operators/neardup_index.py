@@ -208,8 +208,14 @@ class NearDupIndex:
         One batch-sized shuffle (groupBy bucket), one parquet file per
         touched bucket per append.  Re-appending an id overwrites nothing —
         both generations match future batches identically (same content =>
-        same sig); stale generations only cost index bytes (compact by
-        rebuilding into a fresh index when that matters).
+        same sig); stale generations cost index bytes AND inflate
+        ``total_docs`` and the exact per-(band, sig) counts that
+        ``match_batch``'s ``max_bucket`` hot cap sees (compact() only
+        collapses IDENTICAL (doc_id, band, sig) rows, so a doc re-appended
+        with changed content keeps its old band rows forever): enough churn
+        on one signature can spuriously trip the cap and silently lose
+        recall on legitimately shared signatures.  Rebuild into a fresh
+        index when generation churn matters (r5 ADVICE).
 
         Batches are expected id-unique (the CDC engine's are LWW-deduped);
         a repeated (doc_id, band, sig) row is collapsed inside its bucket
@@ -268,10 +274,14 @@ class NearDupIndex:
         ``matched_id`` and ``est_jaccard`` (max estimate, ties to the
         LEXICOGRAPHICALLY smallest matched_id — ids are carried as strings,
         the key domain being urls; numeric ids tie-break as their string
-        forms).  A batch doc whose id is already indexed
-        matches itself at 1.0 — filter on ``matched_id != id`` first when
-        re-crawls of the SAME key should pass (the engine's insert-only
-        filter does this upstream).  Docs with no shingles are always
+        forms).  A batch doc whose id is already indexed matches itself at
+        1.0 — filter ``dups`` on ``matched_id != id`` when re-crawls of the
+        SAME key should pass.  NB: the engine's ``_near_dup_filter`` applies
+        NO such exemption — a same-key re-INSERT with near-identical text
+        (e.g. insert-after-delete; deletes never purge the sidecar)
+        self-matches and is dropped, the same content-ingested-once
+        contract the ContentIndex documents (EngineConfig
+        ``content_index_path`` notes).  Docs with no shingles are always
         fresh."""
         m = self.manifest
         if not m["files"]:
@@ -341,7 +351,7 @@ class NearDupIndex:
         distributed pass (a task per bucket re-reads that bucket's files,
         collapsing repeated (doc_id, band, sig) generations) and one atomic
         manifest publish; superseded files become unreferenced, never a
-        torn index (delete them out-of-band once no reader can hold the
+        torn index (``vacuum()`` deletes them once no reader can hold the
         old manifest).  Run when stats()['max_files_per_bucket'] makes
         match latency file-bound — tens are fine, thousands are not."""
         m0 = self.manifest
@@ -376,6 +386,16 @@ class NearDupIndex:
         m["total_docs"] = sum(int(r["n0"]) for r in written)
         self._publish(m)
         return v
+
+    def vacuum(self, keep_last: int = 2) -> int:
+        """Delete files superseded by compaction: keep the newest
+        ``keep_last`` manifest generations, unlink everything only they no
+        longer reference (shared helper — see
+        incremental_dedup._vacuum_index).  The engine calls this after
+        auto-compact when snapshot retention is enabled."""
+        from ape_dts_spark.operators.incremental_dedup import _vacuum_index
+
+        return _vacuum_index(self.path, keep_last, ("files",))
 
     def stats(self) -> dict:
         files = [len(v) for v in self.manifest["files"].values()]

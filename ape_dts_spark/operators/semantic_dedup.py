@@ -101,9 +101,29 @@ def semantic_dedup_pairs(
         centroids = semantic_centroids(
             corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
         )
+    if not centroids:
+        # empty corpus (kmeans short-circuits with no centroids): no pairs.
+        # A literal-free empty frame — the _assign/centroid expressions
+        # cannot even be constructed over zero centroids (r5 ADVICE).
+        return corpus.select(
+            F.col(id_col).alias("a"),
+            F.col(id_col).alias("b"),
+            F.lit(0.0).alias("cos_sim"),
+            F.lit(0).cast("int").alias("cell"),
+        ).limit(0)
     units = _unit_frame(corpus, id_col, vec_col)
     assigned = _assign(units, centroids, id_col, "_u")
     if max_cell is not None:
+        # NOTE (scale limit, r5 ADVICE): the cap ranks with row_number over
+        # Window.partitionBy(cell), which co-locates an entire oversized
+        # cell on one task before the filter — the excess branch needs
+        # ranks ABOVE the cap, so Catalyst's WindowGroupLimit partial pass
+        # cannot prune it.  A megacell (10^7+ members in one cosine cell)
+        # will straggle here.  The membership rule (cap-lowest ids form
+        # the core, min id anchors the excess) is part of this operator's
+        # pinned behavior, so the shuffle-friendly groupBy rewrite of
+        # text_dedup._drop_hot_keys does not apply verbatim; documented as
+        # a known limit instead of silently changing the kept set.
         wb = Window.partitionBy("cell").orderBy(F.col(id_col).asc())
         assigned = assigned.withColumn("_rn", F.row_number().over(wb))
         core = assigned.filter(F.col("_rn") <= max_cell)
@@ -160,6 +180,16 @@ def semantic_dedup(
         centroids = semantic_centroids(
             corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
         )
+    if not centroids:
+        # empty corpus: every (zero) row survives, nothing dropped — the
+        # stage passes through instead of crashing downstream (r5 ADVICE)
+        drop_list = corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(id_col).alias("cluster_id"),
+            F.col(id_col).alias("keeper"),
+            F.lit(0.0).alias("centroid_cos"),
+        ).limit(0)
+        return corpus, drop_list
     pairs = semantic_dedup_pairs(
         corpus,
         tau=tau,

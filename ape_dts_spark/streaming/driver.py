@@ -985,18 +985,27 @@ class CdcEngine:
                 # count exceeds the cap, so match/verify reads stay
                 # data-bound instead of file-listing-bound over a long tail
                 if cfg.index_compact_max_files > 0:
+                    # after a successful compact publish, drop the
+                    # generations it superseded when retention is on (same
+                    # knob as the lake's snapshot GC) — otherwise a
+                    # long-running engine's sidecar dirs grow
+                    # O(index x compaction count) (r5 ADVICE)
                     if (
                         self._cidx is not None
                         and self._cidx.stats()["max_segments_per_bucket"]
                         > cfg.index_compact_max_files
                     ):
                         self._cidx.compact(self.spark)
+                        if cfg.expire_keep_last > 0:
+                            self._cidx.vacuum(keep_last=cfg.expire_keep_last)
                     if (
                         self._ndidx is not None
                         and self._ndidx.stats()["max_files_per_bucket"]
                         > cfg.index_compact_max_files
                     ):
                         self._ndidx.compact(self.spark)
+                        if cfg.expire_keep_last > 0:
+                            self._ndidx.vacuum(keep_last=cfg.expire_keep_last)
                 # Observation.get BLOCKS FOREVER when the CollectMetrics node ran
                 # zero tasks (a plan the optimizer collapses to an empty relation
                 # never resolves it) — an `except` around .get can't catch a hang.

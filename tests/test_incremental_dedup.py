@@ -150,3 +150,23 @@ def test_compact_folds_files_and_preserves_membership(spark, tmp_path):
     assert post["total_keys"] == want
     _, post_dups = idx.dedup_batch(spark, batch)
     assert {r["url"] for r in post_dups.collect()} == pre_set
+
+    # vacuum(keep_last=1) unlinks the superseded pre-compact generation's
+    # data+bloom files and manifests, and membership is unchanged (r5
+    # ADVICE: without GC the sidecar grows O(index x compaction count))
+    import os
+
+    data_before = set(os.listdir(tmp_path / "cidx" / "data"))
+    removed = idx.vacuum(keep_last=1)
+    assert removed > 0
+    data_after = set(os.listdir(tmp_path / "cidx" / "data"))
+    assert data_after < data_before
+    live = {os.path.basename(p) for ps in idx.manifest["files"].values() for p in ps}
+    assert live <= data_after
+    manifests = [
+        f for f in os.listdir(tmp_path / "cidx" / "_meta") if f.startswith("manifest_v")
+    ]
+    assert manifests == [f"manifest_v{idx.manifest['version']}.json"]
+    _, vac_dups = idx.dedup_batch(spark, batch)
+    assert {r["url"] for r in vac_dups.collect()} == pre_set
+    assert idx.vacuum(keep_last=1) == 0  # idempotent

@@ -224,3 +224,19 @@ def test_compact_folds_files_and_preserves_matches(spark, tmp_path):
     # index still loads fresh and keeps matching
     idx2 = NearDupIndex.load(str(tmp_path / "ndi"))
     assert idx2.stats()["total_docs"] == 12
+
+    # vacuum(keep_last=1) drops the superseded pre-compact files/manifests;
+    # matches unchanged (r5 ADVICE)
+    import os
+
+    assert idx.vacuum(keep_last=1) > 0
+    live = {os.path.basename(p) for ps in idx.manifest["files"].values() for p in ps}
+    assert live <= set(os.listdir(tmp_path / "ndi" / "data"))
+    manifests = [
+        f for f in os.listdir(tmp_path / "ndi" / "_meta") if f.startswith("manifest_v")
+    ]
+    assert manifests == [f"manifest_v{idx.manifest['version']}.json"]
+    _, vac_dups = idx.match_batch(spark, probe, threshold=0.9)
+    assert {
+        (r["url"], int(r["matched_id"]), r["est_jaccard"]) for r in vac_dups.collect()
+    } == pre_rows

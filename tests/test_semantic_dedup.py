@@ -141,3 +141,32 @@ def test_leaves_no_pinned_cache(spark):
     cm = spark._jsparkSession.sharedState().cacheManager()
     semantic_dedup(corpus, k=4, tau=0.99, iters=3, seed=7)[1].count()
     assert cm.isEmpty()
+
+
+def test_empty_corpus_passes_through(spark):
+    """Empty input (every doc dropped upstream) short-circuits instead of
+    crashing on len(None) in kmeans (r5 ADVICE): survivors == input, empty
+    drop list, and the pipeline's semantic stage is a no-op."""
+    from ape_dts_spark.operators.kmeans import kmeans
+
+    corpus = _corpus(spark).limit(0)
+    assigned, cents, inertia = kmeans(corpus, k=4, id_col="vec_id", vec_col="embedding")
+    assert assigned.count() == 0 and cents == [] and inertia == 0.0
+    survivors, drops = semantic_dedup(corpus, k=4, tau=0.99)
+    assert survivors.count() == 0 and drops.count() == 0
+    assert [f for f in drops.columns] == ["doc_id", "cluster_id", "keeper", "centroid_cos"]
+
+
+def test_pipeline_semantic_stage_on_fully_dropped_corpus(spark):
+    """corpus_pipeline(semantic_tau=...) whose earlier stages drop EVERY doc
+    must return an empty frame, not raise (r5 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from ape_dts_spark.pipelines import corpus_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.example.com/x", "tiny"), (2, "https://b.example.com/y", "words few")],
+        "doc_id long, url string, text string",
+    )
+    out = corpus_pipeline(docs, min_words=50, semantic_tau=0.9, semantic_k=2)
+    assert out.count() == 0
