@@ -38,7 +38,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iters: int = 20,
-    driver_max_pairs: int = 100_000,
+    driver_max_pairs: int = 1_000_000,
 ) -> DataFrame:
     """(a, b) undirected edges -> (doc_id, cluster_id = min id reachable).
 
@@ -75,9 +75,15 @@ def connected_components(
     # If the list fits, those rows ARE the complete pair list — no separate
     # count job, no persist, no second pass over the expensive LSH pipeline
     # (r5 ran persist + count + collect = two executions' worth of job
-    # overhead for graphs that end on the driver anyway).  The collect is
-    # BOUNDED by driver_max_pairs (a few MB).
-    head = pairs.select(a_col, b_col).limit(driver_max_pairs + 1).collect()
+    # overhead for graphs that end on the driver anyway).  Arrow toPandas
+    # keeps the transfer columnar (2 longs/pair: 16 MB at the 1M bound —
+    # collect()'s Row objects would be ~20x that in driver heap), and the
+    # 1M default reflects where the crossover actually is: the distributed
+    # loop costs several jobs x several rounds (~7 s on a 150k-edge graph
+    # at 8x bench scale, r6 measurement) while driver union-find folds a
+    # million pairs in ~1 s.  Above the bound the contraction loop remains
+    # the scale path.
+    head = pairs.select(a_col, b_col).limit(driver_max_pairs + 1).toPandas()
     if len(head) == 0:
         # short-circuit: with no pairs there is nothing to propagate, and an
         # all-empty loop would never satisfy the sum-based convergence test
@@ -212,7 +218,8 @@ def _driver_union_find(spark, pairs: DataFrame, rows, a_col: str, b_col: str) ->
     the small-graph arm of connected_components.  Same fixpoint as the
     distributed loop: every node labeled with the min id reachable.
     ``rows`` is the already-collected pair list (the strategy probe's
-    result); ``pairs`` is only consulted for the id column's type."""
+    result) — a pandas frame (Arrow probe) or any iterable of 2-item
+    row-likes; ``pairs`` is only consulted for the id column's type."""
     parent: dict = {}
     nodes: set = set()
 
@@ -224,6 +231,11 @@ def _driver_union_find(spark, pairs: DataFrame, rows, a_col: str, b_col: str) ->
             parent[x], x = r, parent[x]
         return r
 
+    if hasattr(rows, "itertuples"):  # pandas frame -> plain python values
+        rows = (
+            (a.item() if hasattr(a, "item") else a, b.item() if hasattr(b, "item") else b)
+            for a, b in rows.itertuples(index=False, name=None)
+        )
     for row in rows:
         a, b = row[0], row[1]
         nodes.add(a)
